@@ -1,0 +1,108 @@
+"""Headline benchmark: Cornell-box path-tracing throughput on TPU.
+
+Matches the reference's benchmark workload (MC.docx results table,
+BASELINE.md): scene-1 Cornell box at 800×600, fixed depth 7 + final
+emission gather, brute-force intersection. The reference achieves
+≈2.4 Msamples/s on a GTX 1070 (1000 spp in 200 s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+BASELINE_MSAMPLES_S = 2.4  # GTX 1070, MC.docx results table
+
+
+def main():
+    from montecarlopathtracer_tpu.models import cornell
+    from montecarlopathtracer_tpu.render.integrator import TraceConfig
+    from montecarlopathtracer_tpu.render.renderer import (
+        Renderer,
+        RenderSettings,
+    )
+    from montecarlopathtracer_tpu.utils.logging import RenderLog
+
+    width = int(os.environ.get("BENCH_WIDTH", 800))
+    height = int(os.environ.get("BENCH_HEIGHT", 600))
+    spp_per_pass = int(os.environ.get("BENCH_SPP_PER_PASS", 4))
+    passes = int(os.environ.get("BENCH_PASSES", 4))
+    intersector = os.environ.get("BENCH_INTERSECTOR", "fused")
+    # The fused Pallas path never materializes the [rays, tris]
+    # intermediate, so the whole frame can be one wavefront; the lax
+    # brute path needs ray tiles to bound it.
+    default_chunk = 0 if intersector == "fused" else 30000
+    ray_chunk = int(os.environ.get("BENCH_RAY_CHUNK", default_chunk))
+
+    if cornell.has_reference_scenes():
+        scene, camera = cornell.load_reference_scene(1, width=width, height=height)
+        scene_name = "scene01(ref)"
+    else:
+        scene, camera = cornell.cornell_box(
+            with_mirror_sphere=True,
+            with_glass_sphere=True,
+            width=width,
+            height=height,
+        )
+        scene_name = "cornell(procedural)"
+
+    config = TraceConfig(
+        mode="fixed",
+        max_depth=7,
+        illum=10.0,
+        ray_chunk=ray_chunk,
+        intersector=intersector,
+    )
+    settings = RenderSettings(
+        width=width, height=height, spp_per_pass=spp_per_pass, seed=0
+    )
+    log = RenderLog(stream=sys.stderr)
+    r = Renderer(scene, camera, config, settings, log=log)
+
+    print(
+        f"bench: {scene_name} T={scene.num_triangles} {width}x{height} "
+        f"depth=7+1 spp/pass={spp_per_pass} passes={passes} "
+        f"backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+    # Warmup (compile)
+    t0 = time.perf_counter()
+    r.render(1)
+    print(f"warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    r.render(passes)
+    dt = time.perf_counter() - t0
+
+    samples = width * height * spp_per_pass * passes
+    msamples_s = samples / dt / 1e6
+    # ray segments: depth 7 scatter + 1 final gather intersections
+    mray_segments_s = msamples_s * 8
+
+    print(
+        f"{dt:.2f}s for {samples} samples → {msamples_s:.2f} Msamples/s "
+        f"({mray_segments_s:.1f} Mray-segments/s)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_800x600_depth7_brute_samples_throughput",
+                "value": round(msamples_s, 3),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

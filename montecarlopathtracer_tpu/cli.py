@@ -1,0 +1,110 @@
+"""Command-line renderer — the framework's equivalent of the
+reference's batch entry point (`CVMCTracer/CVMCTracer/main.cpp`) with
+the compile-time constants promoted to flags (SURVEY.md §5 config gap).
+
+Examples:
+    # render the reference scene 1 like the CUDA backend (100 passes ×
+    # 100 spp at 800×600, fixed depth 7, linear output):
+    python -m montecarlopathtracer_tpu.cli --scene 1 --out result1.png
+
+    # procedural Cornell with spheres, RR termination, gamma output:
+    python -m montecarlopathtracer_tpu.cli --scene cornell-full \
+        --mode rr --tonemap gamma --width 640 --height 480
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .models import cornell
+from .render.integrator import TraceConfig
+from .render.renderer import Renderer, RenderSettings
+from .utils.logging import RenderLog
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="montecarlopathtracer_tpu",
+        description="TPU-native differentiable Monte Carlo path tracer",
+    )
+    p.add_argument(
+        "--scene",
+        default="1",
+        help="1/2/3 = reference scene (read-only mount), 'cornell' = "
+        "procedural box, 'cornell-full' = procedural box with mirror + "
+        "glass spheres, or a path to an .obj file",
+    )
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp-per-pass", type=int, default=4)
+    p.add_argument("--passes", type=int, default=25)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=["fixed", "rr"], default="fixed")
+    p.add_argument("--max-depth", type=int, default=7)
+    p.add_argument("--rr-depth", type=int, default=5)
+    p.add_argument("--illum", type=float, default=10.0)
+    p.add_argument("--ray-chunk", type=int, default=30000)
+    p.add_argument("--tonemap", choices=["linear", "gamma"], default="linear")
+    p.add_argument("--out", default="result.png")
+    p.add_argument("--step-dir", default=None, help="per-pass PNG dump dir")
+    p.add_argument("--checkpoint", default=None, help="film checkpoint path")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def load_scene(name: str, width: int, height: int):
+    if name in ("1", "2", "3"):
+        return cornell.load_reference_scene(int(name), width=width, height=height)
+    if name == "cornell":
+        return cornell.cornell_box(width=width, height=height)
+    if name == "cornell-full":
+        return cornell.cornell_box(
+            with_mirror_sphere=True,
+            with_glass_sphere=True,
+            width=width,
+            height=height,
+        )
+    from .scene.scene import load_obj_scene
+    from .scene.camera import camera_for_scene
+
+    return load_obj_scene(name), camera_for_scene(1, width, height)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    scene, camera = load_scene(args.scene, args.width, args.height)
+    config = TraceConfig(
+        mode=args.mode,
+        max_depth=args.max_depth,
+        rr_depth=args.rr_depth,
+        illum=args.illum,
+        ray_chunk=args.ray_chunk,
+    )
+    settings = RenderSettings(
+        width=args.width,
+        height=args.height,
+        spp_per_pass=args.spp_per_pass,
+        passes=args.passes,
+        seed=args.seed,
+        tonemap=args.tonemap,
+        step_dir=args.step_dir,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+    )
+    log = RenderLog(enabled=not args.quiet)
+    r = Renderer(scene, camera, config, settings, log=log)
+    r.render()
+    r.save_png(args.out)
+    if not args.quiet:
+        print(
+            f"wrote {args.out} ({args.width}x{args.height}, "
+            f"{float(r.film.weight):.0f} spp)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,243 @@
+"""Fused ray×triangle nearest-hit Pallas kernel.
+
+The lax oracle (`ops.intersect.intersect_brute`) materializes the
+``[R, 3T]`` primed-coordinate intermediates in HBM — ~50 KB of HBM
+traffic per ray per scene pass, which makes brute-force intersection
+bandwidth-bound. This kernel fuses the whole pipeline per ray tile:
+
+    HBM:  rays [R, 8]  +  packed transforms w [6, 8, T]   (replicated)
+    VMEM: P_k = rays_tile @ w[k]   (6 small matmuls, K=8)
+          accept test + masked min/argmin over T            (VPU)
+    HBM:  winning triangle index [R, 1]                     (only output)
+
+so HBM traffic is O(R + T) instead of O(R·T) — the intersection becomes
+compute-bound (SURVEY.md §3.5 hot loop 1).
+
+Differentiability by construction: the kernel returns only the *argmin
+index* (piecewise-constant in the scene parameters, gradient 0 almost
+everywhere), and `intersect_fused` recomputes (t, β, γ) for the winning
+triangle with plain differentiable jnp — AD never needs to see the
+kernel. The accept semantics are identical to the oracle
+(β > 0, γ > 0, β+γ < 1, t > 0, nearest t; CUTracer.cu:82).
+
+Layout notes:
+- triangle transforms are packed as ``w[k, 8, T]``: component k of
+  (o'x o'y o'z d'x d'y d'z) is a rank-8 contraction with the ray vector
+  [o, 1, d, 0] — T stays on the 128-lane axis throughout;
+- ties on t resolve to the smallest triangle index (the reference's
+  first-hit-wins loop order, CUTracer.cu:82-92) via a lane-index min
+  reduction rather than a gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit, triangle_transforms
+
+_BIG = 3.0e38  # plain float: a jnp scalar here would be closure-captured
+# by the kernel, which pallas_call rejects ("captures constants").
+_RAY_TILE = 256
+_T_CHUNK = 2048  # triangles per inner chunk: bounds VMEM temporaries
+
+
+def pack_transforms(
+    m: jnp.ndarray, m_a: jnp.ndarray, tri_valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Pack per-triangle transforms into the kernel's ``w[6, 8, T]``.
+
+    Component k ∈ {0,1,2} → o'_k = m[:,k,:]·o − m_a[:,k];
+    component k ∈ {3,4,5} → d'_{k−3} = m[:,k−3,:]·d.
+    Invalid (padding) triangles get all-zero columns, which force
+    d'_z = 0 → rejected by the kernel's accept test.
+    """
+    T = m.shape[0]
+    v = tri_valid.astype(m.dtype)
+    mt = (m * v[:, None, None]).transpose(1, 2, 0)  # [3(i), 3(j), T]
+    ma = (m_a * v[:, None]).T  # [3, T]
+    zeros = jnp.zeros((4, T), m.dtype)
+    w = jnp.stack(
+        [
+            jnp.concatenate([mt[0], -ma[0:1], zeros], axis=0),  # o'_x
+            jnp.concatenate([mt[1], -ma[1:2], zeros], axis=0),  # o'_y
+            jnp.concatenate([mt[2], -ma[2:3], zeros], axis=0),  # o'_z
+            jnp.concatenate([zeros, mt[0], jnp.zeros((1, T), m.dtype)], axis=0),
+            jnp.concatenate([zeros, mt[1], jnp.zeros((1, T), m.dtype)], axis=0),
+            jnp.concatenate([zeros, mt[2], jnp.zeros((1, T), m.dtype)], axis=0),
+        ],
+        axis=0,
+    )  # [6, 8, T]
+    return w
+
+
+def _nearest_kernel(rays_ref, w_ref, idx_ref, *, t_chunk: int):
+    rays = rays_ref[:]  # (Rt, 8)
+    Rt = rays.shape[0]
+    T = w_ref.shape[2]
+    n_chunks = T // t_chunk
+
+    best_t = jnp.full((Rt,), _BIG, jnp.float32)
+    best_i = jnp.full((Rt,), 2**31 - 1, jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rt, t_chunk), 1)
+
+    for ci in range(n_chunks):  # static unroll over triangle chunks
+        sl = pl.ds(ci * t_chunk, t_chunk)
+
+        def comp(k):
+            return jax.lax.dot_general(
+                rays,
+                w_ref[k, :, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Rt, t_chunk)
+
+        opx, opy, opz = comp(0), comp(1), comp(2)
+        dpx, dpy, dpz = comp(3), comp(4), comp(5)
+
+        dz_ok = jnp.abs(dpz) > 1e-12
+        t = jnp.where(dz_ok, -opz / jnp.where(dz_ok, dpz, 1.0), -1.0)
+        beta = opx + t * dpx
+        gamma = opy + t * dpy
+        ok = (
+            dz_ok
+            & (beta > 0.0)
+            & (gamma > 0.0)
+            & (beta + gamma < 1.0)
+            & (t > 0.0)
+            & (t < best_t[:, None])
+        )
+        t_masked = jnp.where(ok, t, _BIG)
+        c_min = jnp.min(t_masked, axis=1)  # (Rt,)
+        # smallest column index among the chunk's winners (tie → first)
+        winner = ok & (t_masked <= c_min[:, None])
+        c_idx = jnp.min(
+            jnp.where(winner, col + ci * t_chunk, jnp.int32(2**31 - 1)), axis=1
+        )
+        better = c_min < best_t
+        best_t = jnp.where(better, c_min, best_t)
+        best_i = jnp.where(better, c_idx, best_i)
+
+    miss = best_t >= _BIG
+    idx_ref[:, 0] = jnp.where(miss, jnp.int32(-1), best_i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_chunk", "interpret")
+)
+def nearest_triangle(
+    w: jnp.ndarray,  # f32[6, 8, T]
+    origins: jnp.ndarray,  # f32[R, 3]
+    dirs: jnp.ndarray,  # f32[R, 3]
+    ray_tile: int = _RAY_TILE,
+    t_chunk: int = _T_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Index of the nearest accepted triangle per ray (−1 = miss)."""
+    R = origins.shape[0]
+    T = w.shape[2]
+    t_chunk = min(t_chunk, T)
+    assert T % t_chunk == 0, (T, t_chunk)
+    pad = (-R) % ray_tile
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad, 3), origins.dtype)], axis=0
+        )
+        dirs = jnp.concatenate([dirs, jnp.zeros((pad, 3), dirs.dtype)], axis=0)
+    Rp = R + pad
+
+    rays = jnp.concatenate(
+        [
+            origins,
+            jnp.ones((Rp, 1), origins.dtype),
+            dirs,
+            jnp.zeros((Rp, 1), dirs.dtype),
+        ],
+        axis=1,
+    )  # (Rp, 8)
+
+    idx = pl.pallas_call(
+        functools.partial(_nearest_kernel, t_chunk=t_chunk),
+        grid=(Rp // ray_tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (ray_tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w, whole array
+        ],
+        out_specs=pl.BlockSpec(
+            (ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+        interpret=interpret,
+    )(rays, w)
+    return idx[:R, 0]
+
+
+def refine_hit(
+    m: jnp.ndarray,
+    m_a: jnp.ndarray,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    tri_id: jnp.ndarray,
+) -> Hit:
+    """Differentiably recompute (t, β, γ, point) for chosen triangles.
+
+    ``tri_id`` comes from the kernel (or any selector) and is treated as
+    a constant; gradients flow through the transform of the selected
+    triangle only — exactly the a.e.-gradient of the nearest-hit
+    function.
+    """
+    tid = jnp.maximum(tri_id, 0)
+    mw = m[tid]  # (R, 3, 3)
+    ma = m_a[tid]  # (R, 3)
+    o_p = jnp.einsum("rij,rj->ri", mw, origins) - ma
+    d_p = jnp.einsum("rij,rj->ri", mw, dirs)
+    dz = d_p[:, 2]
+    safe = jnp.abs(dz) > 1e-12
+    t = jnp.where(safe, -o_p[:, 2] / jnp.where(safe, dz, 1.0), jnp.inf)
+    beta = o_p[:, 0] + t * d_p[:, 0]
+    gamma = o_p[:, 1] + t * d_p[:, 1]
+    miss = tri_id < 0
+    t = jnp.where(miss, jnp.inf, t)
+    point = origins + jnp.where(miss, 0.0, t)[:, None] * dirs
+    return Hit(
+        tri_id=tri_id,
+        t=t,
+        beta=jnp.where(miss, 0.0, beta),
+        gamma=jnp.where(miss, 0.0, gamma),
+        point=point,
+    )
+
+
+def intersect_fused(
+    m: jnp.ndarray,
+    m_a: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    *,
+    ray_tile: int = _RAY_TILE,
+    t_chunk: int = _T_CHUNK,
+    interpret: bool = False,
+) -> Hit:
+    """Drop-in replacement for `intersect_brute` backed by the fused
+    kernel; β/γ/t are differentiable w.r.t. the triangle transforms."""
+    w = pack_transforms(m, m_a, tri_valid)
+    tri_id = jax.lax.stop_gradient(
+        nearest_triangle(
+            jax.lax.stop_gradient(w),
+            jax.lax.stop_gradient(origins),
+            jax.lax.stop_gradient(dirs),
+            ray_tile=ray_tile,
+            t_chunk=t_chunk,
+            interpret=interpret,
+        )
+    )
+    return refine_hit(m, m_a, origins, dirs, tri_id)

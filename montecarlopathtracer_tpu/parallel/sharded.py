@@ -1,0 +1,177 @@
+"""SPMD rendering over a device mesh via `shard_map` + XLA collectives.
+
+Decomposition (SURVEY.md §2.3 "TPU-native equivalent to build"):
+
+- each device renders its row band of the film for its share of the
+  sample batch (pure local wavefront work — the heavy compute);
+- partial films are summed with `jax.lax.psum` over the ``spp`` axis —
+  the only cross-device communication in the forward pass, riding ICI;
+- the film stays sharded over the ``rays`` axis end-to-end (it is
+  produced, accumulated and checkpointed band-wise; only PNG encoding
+  gathers it).
+
+The differentiable path reuses the same program: `jax.grad` through
+`shard_map` transposes the `psum` into the gradient all-reduce, so
+parameter gradients are combined over the mesh exactly like the film —
+no hand-written backward collectives needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..scene.scene import ScenePack
+from ..scene.camera import Camera
+from ..render.integrator import TraceConfig, render_rows
+from ..render.film import Film, film_update
+from .mesh import RAYS_AXIS, SPP_AXIS
+
+
+def _replicate_spec(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def sharded_sample_pass(
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+):
+    """Build a jitted SPMD pass: (scene, camera, key) → f32[H, W, 3]
+    mean image of ``spp`` samples, sharded P("rays") over rows.
+
+    Requires ``height % rays_shards == 0`` and ``spp % spp_shards == 0``.
+    """
+    n_rays = mesh.shape[RAYS_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    if height % n_rays:
+        raise ValueError(f"height {height} not divisible by rays shards {n_rays}")
+    if spp % n_spp:
+        raise ValueError(f"spp {spp} not divisible by spp shards {n_spp}")
+    rows_local = height // n_rays
+    spp_local = spp // n_spp
+
+    def local_pass(scene: ScenePack, camera: Camera, key: jax.Array):
+        ri = jax.lax.axis_index(RAYS_AXIS)
+        si = jax.lax.axis_index(SPP_AXIS)
+        y0 = ri * rows_local
+        dev_key = jax.random.fold_in(key, ri * 65536 + si)
+
+        def one_sample(acc, s):
+            img = render_rows(
+                scene,
+                camera,
+                jax.random.fold_in(dev_key, s),
+                width,
+                height,
+                y0,
+                rows_local,
+                config,
+            )
+            return acc + img, None
+
+        total, _ = jax.lax.scan(
+            one_sample,
+            jnp.zeros((rows_local, width, 3), jnp.float32),
+            jnp.arange(spp_local),
+        )
+        # Combine sample shards: the forward pass's one ICI collective.
+        total = jax.lax.psum(total, SPP_AXIS)
+        return total / spp
+
+    fn = shard_map(
+        local_pass,
+        mesh=mesh,
+        in_specs=(_replicate_spec_scene(), _replicate_spec_camera(), P()),
+        out_specs=P(RAYS_AXIS, None, None),
+        # The integrator mixes replicated (scene/camera) and varying
+        # (axis_index-derived) values inside its scans; skip the strict
+        # varying-manual-axes typecheck.
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _replicate_spec_scene():
+    # Scene/BVH replicated per chip (BASELINE.json): a P() prefix spec.
+    return P()
+
+
+def _replicate_spec_camera():
+    return P()
+
+
+def film_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the film color: rows over the rays axis."""
+    return NamedSharding(mesh, P(RAYS_AXIS, None, None))
+
+
+def make_progressive_step(
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+):
+    """Jitted progressive step: (scene, camera, film, key) → film, with
+    the film sharded band-wise across the rays axis."""
+    sample_pass = sharded_sample_pass(
+        mesh, width=width, height=height, spp=spp, config=config
+    )
+
+    @jax.jit
+    def step(scene, camera, film: Film, key) -> Film:
+        img = sample_pass(scene, camera, key)
+        return film_update(film, img, float(spp))
+
+    return step
+
+
+def make_train_step(
+    mesh: Mesh,
+    scene: ScenePack,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+    lr: float = 0.5,
+):
+    """Jitted sharded inverse-rendering step.
+
+    Forward: sharded sample pass (film psum over the spp axis).
+    Backward: `jax.grad` transposes that psum into the parameter
+    gradient all-reduce over the mesh — the reference has no analog
+    (single device); this is the BASELINE.json "gradient all-reduce
+    over ICI" path.
+
+    Returns ``step(params, target, key) -> (params, loss)``.
+    """
+    from ..diff.grad import merge_params
+
+    sample_pass = sharded_sample_pass(
+        mesh, width=width, height=height, spp=spp, config=config
+    )
+
+    def loss_fn(params, target, key):
+        s = merge_params(scene, params)
+        img = sample_pass(s, camera, key)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(params, target, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target, key)
+        new_params = jax.tree.map(lambda p, g: jnp.maximum(p - lr * g, 0.0), params, grads)
+        return new_params, loss
+
+    return step

@@ -1,0 +1,195 @@
+"""Progressive renderer: the host-side driver loop.
+
+Plays the role of the reference's `RenderScene` pass loop
+(CUTracer.cu:340-404): repeatedly run a jitted sample-batch step,
+fold it into the progressive film, optionally dump per-pass PNGs
+(`temp/step%06d.png`, CUTracer.cu:394), and checkpoint the exact
+restartable state (film + weight + seed + pass index) — which the
+reference only *almost* has (its running mean is resumable on-device
+but lost on exit; SURVEY.md §3.4/§5).
+
+TPU-first details:
+- the per-pass step is one jit containing the full wavefront scan for
+  ``spp_per_pass`` samples (scan over samples of a full-frame wavefront)
+  — no host sync inside a pass;
+- film updates run on device; only PNG dumps pull the film to host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.scene import ScenePack
+from ..scene.camera import Camera
+from ..utils.image import save_png
+from ..utils.logging import RenderLog
+from .film import Film, film_update, tonemap_linear, tonemap_gamma
+from .integrator import TraceConfig, render_sample_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Run-level configuration (the reference's compile-time constants,
+    stdafx.h:41-44, promoted to a config object per SURVEY.md §5)."""
+
+    width: int = 800
+    height: int = 600
+    spp_per_pass: int = 4  # samples folded into the film per jit step
+    passes: int = 25
+    seed: int = 0
+    tonemap: str = "linear"  # "linear" (CUDA) or "gamma" (MCRT display)
+    step_dir: Optional[str] = None  # per-pass PNG dumps when set
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 0  # passes between checkpoints (0 = off)
+
+
+def _pass_step(
+    scene: ScenePack,
+    camera: Camera,
+    film: Film,
+    key: jax.Array,
+    accel=None,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+) -> Film:
+    """One progressive pass: mean of ``spp`` full-frame sample batches,
+    folded into the film with weight ``spp``."""
+
+    def one_sample(acc, i):
+        img = render_sample_batch(
+            scene,
+            camera,
+            jax.random.fold_in(key, i),
+            width,
+            height,
+            config,
+            accel,
+        )
+        return acc + img, None
+
+    total, _ = jax.lax.scan(
+        one_sample, jnp.zeros((height, width, 3), jnp.float32), jnp.arange(spp)
+    )
+    return film_update(film, total / spp, float(spp))
+
+
+class Renderer:
+    """Progressive path-tracing driver bound to one scene + camera."""
+
+    def __init__(
+        self,
+        scene: ScenePack,
+        camera: Camera,
+        config: TraceConfig = TraceConfig(),
+        settings: RenderSettings = RenderSettings(),
+        log: Optional[RenderLog] = None,
+        accel=None,
+    ):
+        self.scene = scene
+        self.camera = camera
+        self.config = config
+        self.settings = settings
+        self.accel = accel
+        self.log = log or RenderLog(enabled=False)
+        s = settings
+        self._step = jax.jit(
+            functools.partial(
+                _pass_step,
+                width=s.width,
+                height=s.height,
+                spp=s.spp_per_pass,
+                config=config,
+            ),
+            donate_argnums=(2,),
+        )
+        self.film = Film.zeros(s.height, s.width)
+        self.pass_idx = 0
+        if s.checkpoint_path and os.path.exists(s.checkpoint_path):
+            self.load_checkpoint(s.checkpoint_path)
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = path + ".tmp"
+        np.savez(
+            tmp if tmp.endswith(".npz") else tmp,
+            color=np.asarray(self.film.color),
+            weight=np.asarray(self.film.weight),
+            seed=np.int64(self.settings.seed),
+            pass_idx=np.int64(self.pass_idx),
+        )
+        # np.savez appends .npz to names without it
+        src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(src, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        with np.load(path) as z:
+            if int(z["seed"]) != self.settings.seed:
+                raise ValueError(
+                    f"checkpoint seed {int(z['seed'])} != settings seed "
+                    f"{self.settings.seed}"
+                )
+            self.film = Film(
+                color=jnp.asarray(z["color"]), weight=jnp.asarray(z["weight"])
+            )
+            self.pass_idx = int(z["pass_idx"])
+
+    # -- rendering ------------------------------------------------------------
+
+    def render(self, passes: Optional[int] = None) -> Film:
+        """Run progressive passes (resuming from ``self.pass_idx``)."""
+        s = self.settings
+        n = passes if passes is not None else s.passes
+        base_key = jax.random.key(s.seed)
+        end = self.pass_idx + n
+        while self.pass_idx < end:
+            k = jax.random.fold_in(base_key, self.pass_idx)
+            t0 = time.perf_counter()
+            self.film = self._step(self.scene, self.camera, self.film, k, self.accel)
+            self.film.color.block_until_ready()
+            dt = time.perf_counter() - t0
+            self.pass_idx += 1
+            self.log.batch(
+                spp=s.spp_per_pass,
+                width=s.width,
+                height=s.height,
+                seconds=dt,
+                pass_idx=self.pass_idx,
+                total_spp=float(np.asarray(self.film.weight)),
+            )
+            if s.step_dir:
+                save_png(
+                    os.path.join(s.step_dir, f"step{self.pass_idx - 1:06d}.png"),
+                    self.image_u8(),
+                )
+            if (
+                s.checkpoint_path
+                and s.checkpoint_every
+                and self.pass_idx % s.checkpoint_every == 0
+            ):
+                self.save_checkpoint(s.checkpoint_path)
+        if s.checkpoint_path:
+            self.save_checkpoint(s.checkpoint_path)
+        return self.film
+
+    def image_u8(self) -> np.ndarray:
+        if self.settings.tonemap == "gamma":
+            return tonemap_gamma(self.film.color)
+        return tonemap_linear(self.film.color)
+
+    def save_png(self, path: str) -> None:
+        save_png(path, self.image_u8())

@@ -1,0 +1,111 @@
+"""Fused Pallas intersection kernel vs the lax brute-force oracle.
+
+Runs in interpreter mode on CPU (the compiled kernel is exercised on
+real TPU by bench.py); the contract is: identical winning triangle per
+ray up to tie/rounding at edges, and differentiable refined hits."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlopathtracer_tpu.ops.intersect import (
+    triangle_transforms,
+    intersect_brute,
+)
+from montecarlopathtracer_tpu.ops.intersect_pallas import (
+    pack_transforms,
+    nearest_triangle,
+    intersect_fused,
+    refine_hit,
+)
+from montecarlopathtracer_tpu.models import cornell
+
+_brute = jax.jit(intersect_brute)
+_transforms = jax.jit(triangle_transforms)
+
+
+def _soup(T, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    b = a + rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    c = a + rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    return jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+
+
+def test_kernel_matches_brute_on_soup():
+    T, R = 256, 300
+    a, b, c = _soup(T, seed=4)
+    m, m_a = _transforms(a, b, c)
+    valid = jnp.ones((T,), bool)
+    rng = np.random.default_rng(9)
+    o = jnp.asarray(rng.uniform(-4, 4, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+    hb = _brute(m, m_a, valid, o, d)
+    w = pack_transforms(m, m_a, valid)
+    idx = nearest_triangle(w, o, d, ray_tile=128, t_chunk=128, interpret=True)
+
+    tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
+    agree = tb == tk
+    assert agree.mean() >= 0.99, f"only {agree.mean():.1%} agreement"
+
+
+def test_kernel_respects_valid_mask_and_padding():
+    T = 128
+    a, b, c = _soup(T, seed=5)
+    m, m_a = _transforms(a, b, c)
+    valid = jnp.zeros((T,), bool).at[3].set(True)
+    w = pack_transforms(m, m_a, valid)
+    rng = np.random.default_rng(2)
+    R = 130  # forces ray padding (tile 128)
+    o = jnp.asarray(rng.uniform(-4, 4, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    idx = np.asarray(
+        nearest_triangle(w, o, d, ray_tile=128, t_chunk=128, interpret=True)
+    )
+    assert idx.shape == (R,)
+    assert set(np.unique(idx)).issubset({-1, 3})
+
+
+def test_intersect_fused_full_path_on_cornell():
+    scene, cam = cornell.cornell_box(width=16, height=16)
+    av, bv, cv = scene.triangle_vertices()
+    m, m_a = _transforms(av, bv, cv)
+    R = 256
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 16, pix // 16, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 16, 16
+    )
+    hb = _brute(m, m_a, scene.tri_valid, o, d)
+    hf = intersect_fused(
+        m, m_a, scene.tri_valid, o, d, ray_tile=128, t_chunk=128, interpret=True
+    )
+    tb, tk = np.asarray(hb.tri_id), np.asarray(hf.tri_id)
+    agree = tb == tk
+    assert agree.mean() >= 0.995
+    mask = agree & (tb >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[mask], np.asarray(hf.t)[mask], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.beta)[mask], np.asarray(hf.beta)[mask], atol=1e-4
+    )
+
+
+def test_refine_hit_is_differentiable():
+    a = jnp.asarray([[0.0, 0.0, 0.0]])
+    b = jnp.asarray([[1.0, 0.0, 0.0]])
+    c = jnp.asarray([[0.0, 1.0, 0.0]])
+    o = jnp.asarray([[0.25, 0.25, 1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    tri_id = jnp.asarray([0], jnp.int32)
+
+    def f(az):
+        m, m_a = triangle_transforms(a.at[0, 2].set(az), b, c)
+        return refine_hit(m, m_a, o, d, tri_id).t[0]
+
+    g = jax.grad(f)(jnp.float32(0.0))
+    np.testing.assert_allclose(float(g), -0.5, rtol=1e-4)

@@ -1,0 +1,125 @@
+"""BSDF sampler tests: distribution moments and closed-form branches
+(reference math: CUDA/Utils.hpp:46-137)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlopathtracer_tpu.ops.sampling import (
+    sample_hemi,
+    sample_phong,
+    sample_fresnel,
+)
+
+N = 20000
+
+
+def _uniforms(seed, n=N):
+    k = jax.random.key(seed)
+    u1 = jax.random.uniform(k, (n,))
+    u2 = jax.random.uniform(jax.random.fold_in(k, 1), (n,))
+    return u1, u2
+
+
+def test_hemi_cosine_weighted_about_plus_y():
+    u1, u2 = _uniforms(0)
+    n = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (N, 1))
+    d = sample_hemi(u1, u2, n)
+    d = np.asarray(d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    assert (d[:, 1] >= 0).all()
+    # cosine-weighted: E[cosθ] = 2/3
+    np.testing.assert_allclose(d[:, 1].mean(), 2.0 / 3.0, atol=0.01)
+    # azimuthal symmetry
+    assert abs(d[:, 0].mean()) < 0.02 and abs(d[:, 2].mean()) < 0.02
+
+
+def test_hemi_neg_y_special_case():
+    u1, u2 = _uniforms(1)
+    n = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (N, 1))
+    d = np.asarray(sample_hemi(u1, u2, n))
+    assert (d[:, 1] <= 0).all()
+    np.testing.assert_allclose(-d[:, 1].mean(), 2.0 / 3.0, atol=0.01)
+
+
+def test_hemi_arbitrary_normal_hemisphere():
+    u1, u2 = _uniforms(2)
+    nv = np.array([1.0, 2.0, -0.5])
+    nv /= np.linalg.norm(nv)
+    n = jnp.tile(jnp.asarray(nv[None, :], jnp.float32), (N, 1))
+    d = np.asarray(sample_hemi(u1, u2, n))
+    cos = d @ nv
+    assert (cos >= -1e-4).all()
+    np.testing.assert_allclose(cos.mean(), 2.0 / 3.0, atol=0.01)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+
+
+def test_phong_high_ns_approaches_mirror():
+    u1, u2 = _uniforms(3)
+    nv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (N, 1))
+    indir = jnp.tile(
+        jnp.asarray([[np.sqrt(0.5), -np.sqrt(0.5), 0.0]], jnp.float32), (N, 1)
+    )
+    ns = jnp.full((N,), 1e5, jnp.float32)
+    d = np.asarray(sample_phong(u1, u2, nv, indir, ns))
+    mirror = np.array([np.sqrt(0.5), np.sqrt(0.5), 0.0])
+    cos = d @ mirror
+    assert cos.mean() > 0.999
+
+
+def test_fresnel_tr_zero_always_reflects():
+    u1, _ = _uniforms(4)
+    nv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (N, 1))
+    indir = jnp.tile(
+        jnp.asarray([[np.sqrt(0.5), -np.sqrt(0.5), 0.0]], jnp.float32), (N, 1)
+    )
+    tr = jnp.zeros((N,))
+    ni = jnp.full((N,), 1.5)
+    d = np.asarray(sample_fresnel(u1, nv, indir, tr, ni))
+    mirror = np.array([np.sqrt(0.5), np.sqrt(0.5), 0.0])
+    np.testing.assert_allclose(d, np.tile(mirror, (N, 1)), atol=1e-5)
+
+
+def test_fresnel_normal_incidence_refracts_straight():
+    # At normal incidence with Tr=1, the Schlick factor is 1 → always
+    # refract, and the refracted ray continues straight (Utils.hpp:107-112).
+    u1 = jnp.zeros((4,)) + 0.5
+    nv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (4, 1))
+    indir = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (4, 1))
+    d = np.asarray(
+        sample_fresnel(u1, nv, indir, jnp.ones((4,)), jnp.full((4,), 1.5))
+    )
+    np.testing.assert_allclose(d, np.tile([0.0, -1.0, 0.0], (4, 1)), atol=1e-5)
+
+
+def test_fresnel_total_internal_reflection():
+    # Exiting glass at a grazing angle beyond the critical angle must
+    # mirror-reflect (Utils.hpp:116-121). ndoti = cos to normal ≈ 0.2,
+    # Ni = 1.5 → test = 1 - (1-0.04)*2.25 < 0 → TIR.
+    ct = 0.2
+    st = np.sqrt(1 - ct * ct)
+    u1 = jnp.zeros((4,))  # u < Tr_eff → take the refract branch
+    nv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (4, 1))
+    indir = jnp.tile(jnp.asarray([[st, ct, 0.0]], jnp.float32), (4, 1))
+    d = np.asarray(
+        sample_fresnel(u1, nv, indir, jnp.ones((4,)), jnp.full((4,), 1.5))
+    )
+    expected = np.array([st, -ct, 0.0])
+    np.testing.assert_allclose(d, np.tile(expected, (4, 1)), atol=1e-5)
+
+
+def test_samplers_finite_at_edge_uniforms():
+    # u = 0 and u ≈ 1 must not produce NaN/Inf anywhere.
+    for u in (0.0, 1.0 - 1e-7):
+        uu = jnp.full((8,), u, jnp.float32)
+        nv = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (8, 1))
+        indir = jnp.tile(jnp.asarray([[0.6, -0.8, 0.0]]), (8, 1))
+        assert np.isfinite(np.asarray(sample_hemi(uu, uu, nv))).all()
+        assert np.isfinite(
+            np.asarray(sample_phong(uu, uu, nv, indir, jnp.full((8,), 10.0)))
+        ).all()
+        assert np.isfinite(
+            np.asarray(
+                sample_fresnel(uu, nv, indir, jnp.full((8,), 0.9), jnp.full((8,), 1.5))
+            )
+        ).all()
