@@ -33,11 +33,11 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 600))
     spp_per_pass = int(os.environ.get("BENCH_SPP_PER_PASS", 4))
     passes = int(os.environ.get("BENCH_PASSES", 4))
-    intersector = os.environ.get("BENCH_INTERSECTOR", "fused")
+    intersector = os.environ.get("BENCH_INTERSECTOR", "megakernel")
     # The fused Pallas path never materializes the [rays, tris]
     # intermediate, so the whole frame can be one wavefront; the lax
     # brute path needs ray tiles to bound it.
-    default_chunk = 0 if intersector == "fused" else 30000
+    default_chunk = 0 if intersector in ("fused", "megakernel") else 30000
     ray_chunk = int(os.environ.get("BENCH_RAY_CHUNK", default_chunk))
 
     if cornell.has_reference_scenes():

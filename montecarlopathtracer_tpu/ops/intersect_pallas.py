@@ -180,6 +180,193 @@ def nearest_triangle(
     return idx[:R, 0]
 
 
+def pack_shading_table(scene) -> jnp.ndarray:
+    """Per-triangle shading table ``f32[T, 32]`` for the megakernel:
+
+    [n0(3) | n1(3) | n2(3) | Ka(3) | Kd(3) | Ks(3) | Ns | Tr | Ni | pad]
+
+    Expanding materials to per-triangle rows trades a little replicated
+    memory (32 floats/triangle) for removing every per-ray HBM gather
+    from the shading path: the kernel selects the winning row with a
+    one-hot matmul that never leaves VMEM.
+    """
+    n0, n1, n2 = scene.triangle_normals()
+    mid = scene.tri_mat
+    cols = [
+        n0,
+        n1,
+        n2,
+        scene.mat_ka[mid],
+        scene.mat_kd[mid],
+        scene.mat_ks[mid],
+        scene.mat_ns[mid][:, None],
+        scene.mat_tr[mid][:, None],
+        scene.mat_ni[mid][:, None],
+    ]
+    table = jnp.concatenate(cols, axis=1)  # (T, 21)
+    T = table.shape[0]
+    pad = jnp.zeros((T, 32 - table.shape[1]), table.dtype)
+    return jnp.concatenate([table, pad], axis=1)
+
+
+def _nearest_shade_kernel(
+    rays_ref, w_ref, table_ref, idx_ref, tbg_ref, shade_ref, *, t_chunk: int
+):
+    """Pass 1: nearest-hit search. Pass 2: re-walk the chunks, build the
+    winner one-hot in VMEM, and contract it with the shading table on
+    the MXU — shading data exits the kernel as a dense (32, Rt) block,
+    no gathers anywhere.
+
+    Everything is laid out with the ray axis LAST (on the 128 vector
+    lanes): rays (8, Rt), per-chunk primed coords (Tc, Rt), outputs
+    (·, Rt) — full lane utilization throughout.
+    """
+    rays = rays_ref[:]  # (8, Rt)
+    Rt = rays.shape[1]
+    T = w_ref.shape[2]
+    n_chunks = T // t_chunk
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_chunk, Rt), 0)
+
+    def comp(k, sl):
+        # (8, Tc) · (8, Rt) → (Tc, Rt)
+        return jax.lax.dot_general(
+            w_ref[k, :, sl],
+            rays,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def tbg_for_chunk(sl):
+        opx, opy, opz = comp(0, sl), comp(1, sl), comp(2, sl)
+        dpx, dpy, dpz = comp(3, sl), comp(4, sl), comp(5, sl)
+        dz_ok = jnp.abs(dpz) > 1e-12
+        t = jnp.where(dz_ok, -opz / jnp.where(dz_ok, dpz, 1.0), -1.0)
+        beta = opx + t * dpx
+        gamma = opy + t * dpy
+        base_ok = (
+            dz_ok
+            & (beta > 0.0)
+            & (gamma > 0.0)
+            & (beta + gamma < 1.0)
+            & (t > 0.0)
+        )
+        return t, beta, gamma, base_ok
+
+    # ---- pass 1: nearest hit -------------------------------------------------
+    best_t = jnp.full((Rt,), _BIG, jnp.float32)
+    best_i = jnp.full((Rt,), 2**31 - 1, jnp.int32)
+    for ci in range(n_chunks):
+        sl = pl.ds(ci * t_chunk, t_chunk)
+        t, beta, gamma, base_ok = tbg_for_chunk(sl)
+        ok = base_ok & (t < best_t[None, :])
+        t_masked = jnp.where(ok, t, _BIG)
+        c_min = jnp.min(t_masked, axis=0)  # (Rt,)
+        winner = ok & (t_masked <= c_min[None, :])
+        c_idx = jnp.min(
+            jnp.where(winner, col + ci * t_chunk, jnp.int32(2**31 - 1)), axis=0
+        )
+        better = c_min < best_t
+        best_t = jnp.where(better, c_min, best_t)
+        best_i = jnp.where(better, c_idx, best_i)
+
+    hit = best_t < _BIG
+
+    # ---- pass 2: winner one-hot × shading table ------------------------------
+    shade = jnp.zeros((table_ref.shape[1], Rt), jnp.float32)
+    beta_sel = jnp.zeros((Rt,), jnp.float32)
+    gamma_sel = jnp.zeros((Rt,), jnp.float32)
+    for ci in range(n_chunks):
+        sl = pl.ds(ci * t_chunk, t_chunk)
+        t, beta, gamma, _ = tbg_for_chunk(sl)
+        onehot = (col + ci * t_chunk == best_i[None, :]).astype(jnp.float32)
+        # (Tc, 32) · (Tc, Rt) → (32, Rt) on the MXU
+        shade = shade + jax.lax.dot_general(
+            table_ref[sl, :],
+            onehot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        beta_sel = beta_sel + jnp.sum(onehot * beta, axis=0)
+        gamma_sel = gamma_sel + jnp.sum(onehot * gamma, axis=0)
+
+    idx_ref[0, :] = jnp.where(hit, best_i, jnp.int32(-1))
+    tbg_ref[0, :] = jnp.where(hit, best_t, _BIG)
+    tbg_ref[1, :] = beta_sel
+    tbg_ref[2, :] = gamma_sel
+    tbg_ref[3, :] = hit.astype(jnp.float32)
+    shade_ref[:, :] = shade
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_chunk", "interpret")
+)
+def nearest_shade(
+    w: jnp.ndarray,  # f32[6, 8, T]
+    table: jnp.ndarray,  # f32[T, 32]
+    pos3: jnp.ndarray,  # f32[3, R] ray origins (SoA)
+    dir3: jnp.ndarray,  # f32[3, R] ray directions (SoA)
+    ray_tile: int = _RAY_TILE,
+    t_chunk: int = _T_CHUNK,
+    interpret: bool = False,
+):
+    """Megakernel: nearest hit + (t, β, γ, hit) + shading row per ray.
+
+    SoA interface: returns (idx i32[R], tbg f32[4, R], shade f32[32, R])
+    — everything component-major, no transposes anywhere on the path.
+    """
+    R = pos3.shape[1]
+    T = w.shape[2]
+    t_chunk = min(t_chunk, T)
+    assert T % t_chunk == 0, (T, t_chunk)
+    pad = (-R) % ray_tile
+    if pad:
+        pos3 = jnp.concatenate(
+            [pos3, jnp.zeros((3, pad), pos3.dtype)], axis=1
+        )
+        dir3 = jnp.concatenate([dir3, jnp.zeros((3, pad), dir3.dtype)], axis=1)
+    Rp = R + pad
+
+    rays = jnp.concatenate(
+        [
+            pos3,
+            jnp.ones((1, Rp), pos3.dtype),
+            dir3,
+            jnp.zeros((1, Rp), dir3.dtype),
+        ],
+        axis=0,
+    )  # (8, Rp)
+
+    idx, tbg, shade = pl.pallas_call(
+        functools.partial(_nearest_shade_kernel, t_chunk=t_chunk),
+        grid=(Rp // ray_tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (32, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((4, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((32, Rp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rays, w, table)
+    return idx[0, :R], tbg[:, :R], shade[:, :R]
+
+
 def refine_hit(
     m: jnp.ndarray,
     m_a: jnp.ndarray,

@@ -29,3 +29,19 @@ def stream_uniform(key: jax.Array, stream_id, shape) -> jnp.ndarray:
     """
     k = jax.random.fold_in(key, stream_id)
     return jax.random.uniform(k, shape, dtype=jnp.float32)
+
+
+def make_key(seed: int) -> jax.Array:
+    """Base key for rendering.
+
+    On TPU, threefry2x32 costs ~8 ms per 480k-lane draw — with 4 draws
+    per path segment that rivals the whole intersection kernel. The
+    ``rbg`` implementation uses the TPU's hardware RNG instructions and
+    is an order of magnitude cheaper; its weaker fold_in guarantees are
+    irrelevant for Monte Carlo integration (the reference itself uses a
+    16-round TEA hash + LCG, rtx.hlsl:61-82). CPU keeps the default
+    threefry for bitwise-stable tests.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.random.key(seed, impl="rbg")
+    return jax.random.key(seed)

@@ -1,4 +1,4 @@
-"""Wavefront path-tracing integrator.
+"""Wavefront path-tracing integrator (SoA layout).
 
 The reference's `sampleMC` is a per-thread sequential bounce loop with
 data-dependent exits (CUTracer.cu:98-177, rtx.hlsl:304-371). The TPU
@@ -6,6 +6,12 @@ formulation is a *wavefront*: all R rays advance one path segment per
 step of a `lax.scan` with static trip count; terminated lanes are
 masked. Russian roulette becomes a masked kill + 1/p throughput
 compensation, preserving the reference estimator exactly.
+
+Layout: all per-ray state is **component-major** — positions,
+directions, throughput and results are ``f32[3, R]``, masks are
+``[R]`` — so the ray axis fills the TPU's 128 vector lanes. (An
+``[R, 3]`` layout puts 3 on the lanes and measured ~40× slower on the
+elementwise path; see ops/sampling.py.)
 
 Both termination strategies are supported as one scan parameterized by a
 static :class:`TraceConfig`:
@@ -28,6 +34,16 @@ Material/lobe semantics shared by both (CUTracer.cu:112-160):
   from the incident side), throughput ×= Kd;
 - next origin offset: hit + 0.01 × new_dir (CUTracer.cu:134).
 
+Intersector backends (``config.intersector``):
+- ``"megakernel"`` — one Pallas call per segment returns hit + shading
+  row (corner normals + material) via an in-VMEM one-hot matmul: zero
+  per-ray HBM gathers. Inference fast path (not differentiable w.r.t.
+  scene parameters).
+- ``"fused"`` — Pallas nearest-hit index + differentiable jnp
+  recompute/gathers (gradient renders at near-kernel speed).
+- ``"brute"`` — pure lax oracle (CPU-friendly, differentiable).
+- ``"kdtree"`` — stackless KD traversal (needs ``accel=KDArrays``).
+
 The scan body is wrapped in `jax.checkpoint`: reverse-mode AD replays
 each segment instead of storing the per-segment intersection
 intermediates — the path-replay gradient strategy, exact because all
@@ -45,7 +61,13 @@ import jax.numpy as jnp
 from ..scene.scene import ScenePack
 from ..scene.camera import Camera
 from ..ops.rng import stream_uniform
-from ..ops.sampling import sample_hemi, sample_phong, sample_fresnel
+from ..ops.sampling import (
+    sample_hemi,
+    sample_phong,
+    sample_fresnel,
+    dot3,
+    normalize3,
+)
 from ..ops.intersect import triangle_transforms, intersect_brute
 
 
@@ -63,8 +85,7 @@ class TraceConfig:
     t_chunk: int = 0  # triangle chunk for the brute intersector (0 = all)
     ray_chunk: int = 8192  # rays per wavefront tile (bounds the [R, T]
     # intersection intermediate; 0 = whole frame in one wavefront)
-    intersector: str = "brute"  # "brute" (lax oracle), "fused" (Pallas
-    # megakernel), or "kdtree" (stackless traversal; needs `accel`)
+    intersector: str = "brute"  # "megakernel" | "fused" | "brute" | "kdtree"
     pallas_interpret: bool = False  # interpreter mode for CPU tests
 
     @property
@@ -78,8 +99,8 @@ class TraceConfig:
 
 
 def _gather_material(scene: ScenePack, tri_id: jnp.ndarray):
-    """Per-ray material fields for hit triangles (tri_id clamped; callers
-    mask misses)."""
+    """Per-ray material fields for hit triangles (AoS gathers; oracle
+    and differentiable paths). Returns ka/kd/ks as [R, 3]."""
     tid = jnp.maximum(tri_id, 0)
     mid = scene.tri_mat[tid]
     return dict(
@@ -92,20 +113,214 @@ def _gather_material(scene: ScenePack, tri_id: jnp.ndarray):
     )
 
 
+def _interp_normal(n0, n1, n2, beta, gamma):
+    """Smooth normal from corner normals [3, R]: barycentric
+    interpolation + normalize (CUTracer.cu:122-126)."""
+    w0 = (1.0 - beta - gamma)[None, :]
+    n = n0 * w0 + n1 * beta[None, :] + n2 * gamma[None, :]
+    return normalize3(n)
+
+
 def _shading_normal(scene: ScenePack, tri_id, beta, gamma):
-    """Smooth normal: barycentric interpolation of per-corner normals,
-    normalized (CUTracer.cu:122-126)."""
+    """Gather-based smooth normal, AoS interface [R, 3] (oracle path)."""
     tid = jnp.maximum(tri_id, 0)
-    n0 = scene.normals[scene.tri_n[tid, 0]]
-    n1 = scene.normals[scene.tri_n[tid, 1]]
-    n2 = scene.normals[scene.tri_n[tid, 2]]
-    n = (
-        n0 * (1.0 - beta - gamma)[:, None]
-        + n1 * beta[:, None]
-        + n2 * gamma[:, None]
+    n0 = scene.normals[scene.tri_n[tid, 0]].T
+    n1 = scene.normals[scene.tri_n[tid, 1]].T
+    n2 = scene.normals[scene.tri_n[tid, 2]].T
+    return _interp_normal(n0, n1, n2, beta, gamma).T
+
+
+def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
+    """Build ``intersect_shade(pos3, dir3)`` for the configured backend.
+
+    Returns a function producing a dict with [R]-shaped ``miss, t,
+    beta, gamma, ns, tr, ni`` and [3, R]-shaped ``point, ka, kd, ks,
+    n0, n1, n2``.
+    """
+    a, b, c = scene.triangle_vertices()
+    m, m_a = triangle_transforms(a, b, c)
+    t_chunk = config.t_chunk if config.t_chunk > 0 else None
+
+    if config.intersector == "megakernel":
+        from ..ops.intersect_pallas import (
+            pack_transforms,
+            pack_shading_table,
+            nearest_shade,
+        )
+
+        w_packed = pack_transforms(m, m_a, scene.tri_valid)
+        table = pack_shading_table(scene)
+
+        def intersect_shade(pos3, dir3):
+            idx, tbg, shade = nearest_shade(
+                w_packed, table, pos3, dir3, interpret=config.pallas_interpret
+            )
+            hitf = tbg[3]
+            t = tbg[0]
+            point = pos3 + (t * hitf)[None, :] * dir3
+            return dict(
+                miss=hitf == 0.0,
+                t=t,
+                beta=tbg[1],
+                gamma=tbg[2],
+                point=point,
+                n0=shade[0:3],
+                n1=shade[3:6],
+                n2=shade[6:9],
+                ka=shade[9:12],
+                kd=shade[12:15],
+                ks=shade[15:18],
+                ns=shade[18],
+                tr=shade[19],
+                ni=shade[20],
+            )
+
+        return intersect_shade
+
+    if config.intersector == "brute":
+        def intersect(o, d):
+            return intersect_brute(m, m_a, scene.tri_valid, o, d, t_chunk=t_chunk)
+    elif config.intersector == "fused":
+        from ..ops.intersect_pallas import intersect_fused
+
+        def intersect(o, d):
+            return intersect_fused(
+                m, m_a, scene.tri_valid, o, d, interpret=config.pallas_interpret
+            )
+    elif config.intersector == "kdtree":
+        if accel is None:
+            raise ValueError("intersector='kdtree' requires accel=KDArrays")
+        from ..ops.traverse import intersect_kdtree
+
+        def intersect(o, d):
+            return intersect_kdtree(accel, m, m_a, scene.tri_valid, o, d)
+    else:
+        raise ValueError(f"unknown intersector {config.intersector!r}")
+
+    def intersect_shade(pos3, dir3):
+        hit = intersect(pos3.T, dir3.T)
+        mat = _gather_material(scene, hit.tri_id)
+        tid = jnp.maximum(hit.tri_id, 0)
+        return dict(
+            miss=hit.tri_id < 0,
+            t=hit.t,
+            beta=hit.beta,
+            gamma=hit.gamma,
+            point=hit.point.T,
+            n0=scene.normals[scene.tri_n[tid, 0]].T,
+            n1=scene.normals[scene.tri_n[tid, 1]].T,
+            n2=scene.normals[scene.tri_n[tid, 2]].T,
+            ka=mat["ka"].T,
+            kd=mat["kd"].T,
+            ks=mat["ks"].T,
+            ns=mat["ns"],
+            tr=mat["tr"],
+            ni=mat["ni"],
+        )
+
+    return intersect_shade
+
+
+def trace_radiance_soa(
+    scene: ScenePack,
+    pos3: jnp.ndarray,  # f32[3, R]
+    dir3: jnp.ndarray,  # f32[3, R] unit
+    key: jax.Array,
+    config: TraceConfig,
+    accel=None,
+) -> jnp.ndarray:
+    """Estimate radiance along R rays. Returns f32[3, R]."""
+    R = pos3.shape[1]
+    intersect_shade = _make_intersect_shade(scene, config, accel)
+    illum = jnp.float32(config.illum)
+    n_seg = config.num_segments
+
+    def segment(carry, seg_idx):
+        pos, dir_, tput, result, active = carry
+
+        s = intersect_shade(pos, dir_)
+        miss = s["miss"]
+        is_emit = (s["ka"] > 0.0).any(axis=0)
+
+        if config.mode == "rr":
+            # Hard kill at 3*rr_depth bounces (rtx.hlsl:313-316).
+            hard_kill = seg_idx >= 3 * config.rr_depth
+            # Russian roulette once past rr_depth (rtx.hlsl:317-328).
+            do_rr = (seg_idx >= config.rr_depth) & ~hard_kill
+            p = jnp.max(tput, axis=0)
+            u_rr = stream_uniform(key, seg_idx * 4 + 3, (R,))
+            survive = p > u_rr
+            rr_dead = do_rr & ~survive
+            tput = jnp.where(
+                (do_rr & survive)[None, :],
+                tput / jnp.maximum(p, 1e-20)[None, :],
+                tput,
+            )
+            dead_now = miss | rr_dead | hard_kill
+        else:
+            dead_now = miss
+
+        final_gather = (
+            jnp.broadcast_to(seg_idx == config.max_depth, (R,))
+            if config.mode == "fixed"
+            else jnp.zeros((R,), bool)
+        )
+
+        # Emitter hit → terminate with throughput × Ka × illum
+        # (CUTracer.cu:112-120); the fixed-mode final-gather segment
+        # terminates every surviving hit with Ka×illum
+        # (CUTracer.cu:162-175).
+        emit_now = active & ~dead_now & (is_emit | final_gather)
+        emitted = tput * s["ka"] * illum
+        result = jnp.where(emit_now[None, :], emitted, result)
+
+        still = active & ~dead_now & ~emit_now
+
+        # --- scatter ---------------------------------------------------------
+        normal = _interp_normal(s["n0"], s["n1"], s["n2"], s["beta"], s["gamma"])
+        u1 = stream_uniform(key, seg_idx * 4 + 0, (R,))
+        u2 = stream_uniform(key, seg_idx * 4 + 1, (R,))
+
+        d_fresnel = sample_fresnel(u1, normal, dir_, s["tr"], s["ni"])
+        d_phong = sample_phong(u1, u2, normal, dir_, s["ns"])
+        d_hemi = sample_hemi(u1, u2, normal)
+        # Two-sided diffuse flip (CUTracer.cu:151-158).
+        flip = dot3(dir_, normal) > 0.0
+        d_diff = jnp.where(flip[None, :], -d_hemi, d_hemi)
+
+        is_fresnel = s["tr"] > 0.0
+        is_phong = ~is_fresnel & (s["ns"] > 1.0)
+        new_dir = jnp.where(
+            is_fresnel[None, :],
+            d_fresnel,
+            jnp.where(is_phong[None, :], d_phong, d_diff),
+        )
+        albedo_fresnel = s["kd"] if config.refract_kd else jnp.ones_like(s["kd"])
+        albedo = jnp.where(
+            is_fresnel[None, :],
+            albedo_fresnel,
+            jnp.where(is_phong[None, :], s["ks"], s["kd"]),
+        )
+
+        new_tput = jnp.where(still[None, :], tput * albedo, tput)
+        new_pos = jnp.where(
+            still[None, :], s["point"] + new_dir * config.eps_offset, pos
+        )
+        new_dir = jnp.where(still[None, :], new_dir, dir_)
+
+        return (new_pos, new_dir, new_tput, result, still), None
+
+    init = (
+        pos3,
+        dir3,
+        jnp.ones((3, R), jnp.float32),
+        jnp.zeros((3, R), jnp.float32),
+        jnp.ones((R,), bool),
     )
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True), 1e-20))
-    return n / norm
+    (pos, dir_, tput, result, active), _ = jax.lax.scan(
+        jax.checkpoint(segment), init, jnp.arange(n_seg)
+    )
+    return result
 
 
 def trace_radiance(
@@ -116,139 +331,59 @@ def trace_radiance(
     config: TraceConfig,
     accel=None,
 ) -> jnp.ndarray:
-    """Estimate radiance along R rays. Returns f32[R, 3].
+    """AoS wrapper over :func:`trace_radiance_soa` (returns f32[R, 3])."""
+    return trace_radiance_soa(scene, origins.T, dirs.T, key, config, accel).T
 
-    ``accel`` is a `ops.traverse.KDArrays` when
-    ``config.intersector == "kdtree"``; unused otherwise.
-    """
-    R = origins.shape[0]
-    a, b, c = scene.triangle_vertices()
-    m, m_a = triangle_transforms(a, b, c)
-    t_chunk = config.t_chunk if config.t_chunk > 0 else None
 
-    if config.intersector == "brute":
-        def intersect(pos, dir_):
-            return intersect_brute(
-                m, m_a, scene.tri_valid, pos, dir_, t_chunk=t_chunk
-            )
-    elif config.intersector == "fused":
-        from ..ops.intersect_pallas import intersect_fused
+def render_rows_planar(
+    scene: ScenePack,
+    camera: Camera,
+    key: jax.Array,
+    width: int,
+    height: int,
+    y0,
+    n_rows: int,
+    config: TraceConfig,
+    accel=None,
+) -> jnp.ndarray:
+    """One sample per pixel for rows [y0, y0+n_rows). Returns
+    **planar** f32[3, n_rows, W] — the film's internal layout. ``y0``
+    may be traced (a mesh axis offset); each device renders its own
+    row window (the SPMD building block)."""
+    R = width * n_rows
+    pix = jnp.arange(R)
+    xs = pix % width
+    ys = pix // width + y0
+    # Jitter streams live far above any per-segment stream id.
+    jx = stream_uniform(key, 1 << 30, (R,)) * 2.0 - 1.0
+    jy = stream_uniform(key, (1 << 30) + 1, (R,)) * 2.0 - 1.0
+    pos3, dir3 = camera.generate_rays_soa(xs, ys, jx, jy, width, height)
 
-        def intersect(pos, dir_):
-            return intersect_fused(
-                m,
-                m_a,
-                scene.tri_valid,
-                pos,
-                dir_,
-                interpret=config.pallas_interpret,
-            )
-    elif config.intersector == "kdtree":
-        if accel is None:
-            raise ValueError("intersector='kdtree' requires accel=KDArrays")
-        from ..ops.traverse import intersect_kdtree
-
-        def intersect(pos, dir_):
-            return intersect_kdtree(accel, m, m_a, scene.tri_valid, pos, dir_)
+    rc = config.ray_chunk
+    if rc <= 0 or rc >= R:
+        radiance = trace_radiance_soa(scene, pos3, dir3, key, config, accel)
     else:
-        raise ValueError(f"unknown intersector {config.intersector!r}")
+        # Tile the wavefront to bound the oracle's [rays, tris]
+        # intermediate; tiles run sequentially under one jit.
+        pad = (-R) % rc
+        if pad:
+            pos3 = jnp.concatenate([pos3, jnp.zeros((3, pad))], axis=1)
+            dpad = jnp.tile(jnp.asarray([[0.0], [0.0], [1.0]], dir3.dtype), (1, pad))
+            dir3 = jnp.concatenate([dir3, dpad], axis=1)
+        n_tiles = pos3.shape[1] // rc
+        pos3 = pos3.reshape(3, n_tiles, rc).transpose(1, 0, 2)
+        dir3 = dir3.reshape(3, n_tiles, rc).transpose(1, 0, 2)
+        ids = jnp.arange(n_tiles)
 
-    illum = jnp.float32(config.illum)
-    n_seg = config.num_segments
-
-    def segment(carry, seg_idx):
-        pos, dir_, tput, result, active = carry
-
-        hit = intersect(pos, dir_)
-        miss = hit.tri_id < 0
-
-        mat = _gather_material(scene, hit.tri_id)
-        is_emit = jnp.any(mat["ka"] > 0.0, axis=-1)
-
-        if config.mode == "rr":
-            # Hard kill at 3*rr_depth bounces (rtx.hlsl:313-316): rays
-            # still active at the last segment contribute nothing.
-            hard_kill = seg_idx >= 3 * config.rr_depth
-            # Russian roulette once past rr_depth (rtx.hlsl:317-328).
-            do_rr = (seg_idx >= config.rr_depth) & ~hard_kill
-            p = jnp.max(tput, axis=-1)
-            u_rr = stream_uniform(key, seg_idx * 4 + 3, (R,))
-            survive = p > u_rr
-            rr_dead = do_rr & ~survive
-            tput = jnp.where(
-                (do_rr & survive)[:, None],
-                tput / jnp.maximum(p, 1e-20)[:, None],
-                tput,
+        def tile(args):
+            p, d, i = args
+            return trace_radiance_soa(
+                scene, p, d, jax.random.fold_in(key, (1 << 29) + i), config, accel
             )
-            dead_now = miss | rr_dead | hard_kill
-        else:
-            # Fixed mode: the final segment gathers emission only
-            # (CUTracer.cu:162-175) — handled below via `final_gather`.
-            dead_now = miss
 
-        final_gather = (
-            jnp.broadcast_to(seg_idx == config.max_depth, (R,))
-            if config.mode == "fixed"
-            else jnp.zeros((R,), bool)
-        )
-
-        # Emitter hit → terminate with throughput × Ka × illum
-        # (CUTracer.cu:112-120). In the final gather segment of fixed
-        # mode, *any* hit terminates with Ka×illum (zero for
-        # non-emitters), matching CUTracer.cu:162-175.
-        emit_now = active & ~dead_now & (is_emit | final_gather)
-        emitted = tput * mat["ka"] * illum
-        result = jnp.where(emit_now[:, None], emitted, result)
-
-        still = active & ~dead_now & ~emit_now
-
-        # --- scatter ---------------------------------------------------------
-        normal = _shading_normal(scene, hit.tri_id, hit.beta, hit.gamma)
-        u1 = stream_uniform(key, seg_idx * 4 + 0, (R,))
-        u2 = stream_uniform(key, seg_idx * 4 + 1, (R,))
-
-        d_fresnel = sample_fresnel(u1, normal, dir_, mat["tr"], mat["ni"])
-        d_phong = sample_phong(u1, u2, normal, dir_, mat["ns"])
-        d_hemi = sample_hemi(u1, u2, normal)
-        # Two-sided diffuse: flip to the hemisphere opposite the
-        # incident direction (CUTracer.cu:151-158).
-        flip = jnp.sum(dir_ * normal, axis=-1) > 0.0
-        d_diff = jnp.where(flip[:, None], -d_hemi, d_hemi)
-
-        is_fresnel = mat["tr"] > 0.0
-        is_phong = ~is_fresnel & (mat["ns"] > 1.0)
-        new_dir = jnp.where(
-            is_fresnel[:, None],
-            d_fresnel,
-            jnp.where(is_phong[:, None], d_phong, d_diff),
-        )
-        albedo_fresnel = mat["kd"] if config.refract_kd else jnp.ones_like(mat["kd"])
-        albedo = jnp.where(
-            is_fresnel[:, None],
-            albedo_fresnel,
-            jnp.where(is_phong[:, None], mat["ks"], mat["kd"]),
-        )
-
-        new_tput = jnp.where(still[:, None], tput * albedo, tput)
-        new_pos = jnp.where(
-            still[:, None], hit.point + new_dir * config.eps_offset, pos
-        )
-        new_dir = jnp.where(still[:, None], new_dir, dir_)
-        new_active = still
-
-        return (new_pos, new_dir, new_tput, result, new_active), None
-
-    init = (
-        origins,
-        dirs,
-        jnp.ones((R, 3), jnp.float32),
-        jnp.zeros((R, 3), jnp.float32),
-        jnp.ones((R,), bool),
-    )
-    (pos, dir_, tput, result, active), _ = jax.lax.scan(
-        jax.checkpoint(segment), init, jnp.arange(n_seg)
-    )
-    return result
+        radiance = jax.lax.map(tile, (pos3, dir3, ids))  # (n_tiles, 3, rc)
+        radiance = radiance.transpose(1, 0, 2).reshape(3, -1)[:, :R]
+    return radiance.reshape(3, n_rows, width)
 
 
 def render_rows(
@@ -262,45 +397,10 @@ def render_rows(
     config: TraceConfig,
     accel=None,
 ) -> jnp.ndarray:
-    """One sample per pixel for rows [y0, y0+n_rows). Returns
-    f32[n_rows, W, 3]. ``y0`` may be traced (e.g. a mesh axis offset),
-    ``n_rows`` is static — this is the SPMD building block: each device
-    renders its own row window of the film.
-    """
-    R = width * n_rows
-    pix = jnp.arange(R)
-    xs = pix % width
-    ys = pix // width + y0
-    # Jitter streams live far above any per-segment stream id.
-    jx = stream_uniform(key, 1 << 30, (R,)) * 2.0 - 1.0
-    jy = stream_uniform(key, (1 << 30) + 1, (R,)) * 2.0 - 1.0
-    o, d = camera.generate_rays(xs, ys, jx, jy, width, height)
-
-    rc = config.ray_chunk
-    if rc <= 0 or rc >= R:
-        radiance = trace_radiance(scene, o, d, key, config, accel)
-    else:
-        # Tile the wavefront so the [rays, triangles] intersection
-        # intermediate stays bounded; tiles run sequentially under one jit.
-        pad = (-R) % rc
-        if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
-            d = jnp.concatenate(
-                [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))],
-                axis=0,
-            )
-        o = o.reshape(-1, rc, 3)
-        d = d.reshape(-1, rc, 3)
-        ids = jnp.arange(o.shape[0])
-
-        def tile(args):
-            o_c, d_c, i = args
-            return trace_radiance(
-                scene, o_c, d_c, jax.random.fold_in(key, (1 << 29) + i), config, accel
-            )
-
-        radiance = jax.lax.map(tile, (o, d, ids)).reshape(-1, 3)[:R]
-    return radiance.reshape(n_rows, width, 3)
+    """AoS wrapper over :func:`render_rows_planar`: f32[n_rows, W, 3]."""
+    return render_rows_planar(
+        scene, camera, key, width, height, y0, n_rows, config, accel
+    ).transpose(1, 2, 0)
 
 
 def render_sample_batch(

@@ -29,10 +29,11 @@ import numpy as np
 
 from ..scene.scene import ScenePack
 from ..scene.camera import Camera
+from ..ops.rng import make_key
 from ..utils.image import save_png
 from ..utils.logging import RenderLog
 from .film import Film, film_update, tonemap_linear, tonemap_gamma
-from .integrator import TraceConfig, render_sample_batch
+from .integrator import TraceConfig, render_rows_planar
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,11 +68,15 @@ def _pass_step(
     folded into the film with weight ``spp``."""
 
     def one_sample(acc, i):
-        img = render_sample_batch(
+        # Planar (3, H, W) accumulation: keeps the pixel axes on the
+        # vector lanes inside the hot per-sample loop.
+        img = render_rows_planar(
             scene,
             camera,
             jax.random.fold_in(key, i),
             width,
+            height,
+            0,
             height,
             config,
             accel,
@@ -79,9 +84,9 @@ def _pass_step(
         return acc + img, None
 
     total, _ = jax.lax.scan(
-        one_sample, jnp.zeros((height, width, 3), jnp.float32), jnp.arange(spp)
+        one_sample, jnp.zeros((3, height, width), jnp.float32), jnp.arange(spp)
     )
-    return film_update(film, total / spp, float(spp))
+    return film_update(film, total.transpose(1, 2, 0) / spp, float(spp))
 
 
 class Renderer:
@@ -154,7 +159,7 @@ class Renderer:
         """Run progressive passes (resuming from ``self.pass_idx``)."""
         s = self.settings
         n = passes if passes is not None else s.passes
-        base_key = jax.random.key(s.seed)
+        base_key = make_key(s.seed)
         end = self.pass_idx + n
         while self.pass_idx < end:
             k = jax.random.fold_in(base_key, self.pass_idx)

@@ -97,6 +97,36 @@ class Camera:
             jitter=jitter,
         )
 
+    def generate_rays_soa(
+        self,
+        xs: jnp.ndarray,
+        ys: jnp.ndarray,
+        jx: jnp.ndarray,
+        jy: jnp.ndarray,
+        width: int,
+        height: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched primary rays, component-major.
+
+        ``xs``/``ys`` are pixel column/row indices (row 0 = image top,
+        matching the reference framebuffer layout, CUTracer.cu:181-184);
+        ``jx``/``jy`` are uniform in [-1, 1) and scaled by ``jitter``.
+        Returns (origins f32[3, R], directions f32[3, R] unit) — the
+        ray axis on the TPU vector lanes.
+        """
+        bx = xs.astype(jnp.float32) + jx * self.jitter
+        by = ys.astype(jnp.float32) + jy * self.jitter
+        dx = (2.0 * bx / width - 1.0) * self.tan_half_x
+        dy = (1.0 - 2.0 * by / height) * self.tan_half_y
+        d = (
+            self.right[:, None] * dx[None, :]
+            + self.up[:, None] * dy[None, :]
+            + self.forward[:, None]
+        )
+        d = d / jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+        o = jnp.broadcast_to(self.eye[:, None], d.shape)
+        return o, d
+
     def generate_rays(
         self,
         xs: jnp.ndarray,
@@ -106,25 +136,10 @@ class Camera:
         width: int,
         height: int,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Batched primary rays.
-
-        ``xs``/``ys`` are pixel column/row indices (row 0 = image top,
-        matching the reference framebuffer layout, CUTracer.cu:181-184);
-        ``jx``/``jy`` are uniform in [-1, 1) and scaled by ``jitter``.
-        Returns (origins f32[R, 3], directions f32[R, 3] unit).
-        """
-        bx = xs.astype(jnp.float32) + jx * self.jitter
-        by = ys.astype(jnp.float32) + jy * self.jitter
-        dx = (2.0 * bx / width - 1.0) * self.tan_half_x
-        dy = (1.0 - 2.0 * by / height) * self.tan_half_y
-        d = (
-            dx[:, None] * self.right[None, :]
-            + dy[:, None] * self.up[None, :]
-            + self.forward[None, :]
-        )
-        d = _normalize(d)
-        o = jnp.broadcast_to(self.eye[None, :], d.shape)
-        return o, d
+        """AoS wrapper over :meth:`generate_rays_soa`:
+        (origins f32[R, 3], directions f32[R, 3] unit)."""
+        o, d = self.generate_rays_soa(xs, ys, jx, jy, width, height)
+        return o.T, d.T
 
 
 def camera_for_scene(scene_id: int, width: int, height: int) -> Camera:

@@ -109,3 +109,91 @@ def test_refine_hit_is_differentiable():
 
     g = jax.grad(f)(jnp.float32(0.0))
     np.testing.assert_allclose(float(g), -0.5, rtol=1e-4)
+
+
+def test_nearest_shade_megakernel_matches_gather_path():
+    """The megakernel's (idx, t/β/γ, shading row) must agree with the
+    brute intersector + gather path on the Cornell scene."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms,
+        pack_shading_table,
+        nearest_shade,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=16, height=16
+    )
+    av, bv, cv = scene.triangle_vertices()
+    m, m_a = _transforms(av, bv, cv)
+    w = pack_transforms(m, m_a, scene.tri_valid)
+    table = pack_shading_table(scene)
+
+    R = 256
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 16, pix // 16, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 16, 16
+    )
+    hb = _brute(m, m_a, scene.tri_valid, o, d)
+    # SoA interface: [3, R] rays in, (idx [R], tbg [4, R], shade [32, R]) out
+    idx, tbg, shade = nearest_shade(
+        w, table, o.T, d.T, ray_tile=128, t_chunk=128, interpret=True
+    )
+    tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
+    agree = tb == tk
+    assert agree.mean() >= 0.995
+    mask = agree & (tb >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[mask], np.asarray(tbg[0])[mask], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.beta)[mask], np.asarray(tbg[1])[mask], atol=1e-4
+    )
+    # shading row == gathered material/normal data for the same triangle
+    tid = np.maximum(tb, 0)
+    mid = np.asarray(scene.tri_mat)[tid]
+    np.testing.assert_allclose(
+        np.asarray(shade[12:15]).T[mask],
+        np.asarray(scene.mat_kd)[mid][mask],
+        atol=1e-6,
+    )
+    n0 = np.asarray(scene.normals)[np.asarray(scene.tri_n)[tid, 0]]
+    np.testing.assert_allclose(
+        np.asarray(shade[0:3]).T[mask], n0[mask], atol=1e-6
+    )
+    # misses have an all-zero shading row and hit flag 0
+    if (~(tb >= 0)).any():
+        miss = tb < 0
+        assert np.asarray(tbg[3])[miss].max() == 0.0
+        assert np.abs(np.asarray(shade).T[miss]).max() == 0.0
+
+
+def test_megakernel_trace_matches_brute_trace():
+    """Full wavefront trace with intersector='megakernel' (interpret
+    mode) must produce the same radiance as the brute path — identical
+    keys, identical decisions."""
+    from montecarlopathtracer_tpu.render.integrator import (
+        TraceConfig,
+        trace_radiance_jit,
+    )
+
+    scene, cam = cornell.cornell_box(width=8, height=8)
+    R = 64
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 8, pix // 8, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 8, 8
+    )
+    k = jax.random.key(3)
+    cfg_b = TraceConfig(mode="fixed", max_depth=3, intersector="brute", ray_chunk=0)
+    cfg_m = TraceConfig(
+        mode="fixed",
+        max_depth=3,
+        intersector="megakernel",
+        pallas_interpret=True,
+        ray_chunk=0,
+    )
+    rb = np.asarray(trace_radiance_jit(scene, o, d, k, config=cfg_b))
+    rm = np.asarray(trace_radiance_jit(scene, o, d, k, config=cfg_m))
+    # identical RNG streams and near-identical hits: small tolerance for
+    # edge-case accept flips
+    close = np.isclose(rb, rm, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() >= 0.95, close.mean()
