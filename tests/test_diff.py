@@ -119,9 +119,15 @@ def test_inverse_rendering_recovers_albedo_direction():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     # Directional recovery: the white wall albedo (material 1) started
-    # at 0.6x its true value and must move up toward it. (Full-vector L1
-    # recovery would need matched noise / higher spp.)
+    # at 0.6x its true value and must move up toward it on average. Not
+    # per-channel: at 12x12/4spp a channel can legitimately have zero
+    # gradient (e.g. every light-carrying path under this key crosses
+    # the red Kd=(1,0,0) or blue wall, killing green), so only channels
+    # the sampled paths actually illuminate receive signal.
     white0 = 0.6 * true_kd[1]
     white1 = np.asarray(params["mat_kd"])[1]
-    assert (white1 > white0 + 1e-4).all(), (white0, white1)
-    del err0
+    assert white1.mean() > white0.mean() + 1e-4, (white0, white1)
+    assert (white1 >= white0 - 1e-6).all(), (white0, white1)
+    # And the overall L1 error to the true albedo must shrink.
+    err1 = float(np.abs(np.asarray(params["mat_kd"]) - true_kd).sum())
+    assert err1 < err0, (err0, err1)
