@@ -248,6 +248,40 @@ def flatten_kdtree(root: _Node, pad_leaf_to: int = 1) -> FlatKDTree:
     )
 
 
+def build_flat_kdtree(
+    a: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    valid: Optional[np.ndarray] = None,
+    pad_leaf_to: int = 1,
+    backend: str = "auto",
+) -> FlatKDTree:
+    """Build + flatten in one call, choosing the implementation.
+
+    ``backend``: ``"native"`` forces the C++ builder (:mod:`..native` —
+    the analog of the reference's C++ `KDTree.hpp` host build),
+    ``"python"`` forces this module, ``"auto"`` prefers native with
+    silent fallback. Both produce identical flat arrays (tested).
+    The ``MCPT_NATIVE`` env var (0/1) overrides ``"auto"``.
+    """
+    import os
+
+    if backend == "auto":
+        env = os.environ.get("MCPT_NATIVE")
+        if env is not None:
+            backend = "native" if env not in ("0", "false", "") else "python"
+    if backend in ("auto", "native"):
+        from ..native import available, build_kdtree_native
+
+        if available():
+            return build_kdtree_native(a, b, c, valid, pad_leaf_to=pad_leaf_to)
+        if backend == "native":
+            from ..native import build_error
+
+            raise RuntimeError(f"native KD builder unavailable: {build_error()}")
+    return flatten_kdtree(build_kdtree(a, b, c, valid), pad_leaf_to=pad_leaf_to)
+
+
 def validate_kdtree(root: _Node, tlo: np.ndarray, thi: np.ndarray, n_tris: int):
     """Structural checks (the reference only has debug asserts +
     a visual OBJ dump): every triangle reachable from some leaf; leaf

@@ -164,8 +164,34 @@ def _find_material(model: ObjModel, name: str) -> int:
     return 0
 
 
-def read_obj(path: str) -> ObjModel:
-    """Load an OBJ file (plus any ``mtllib``) into an :class:`ObjModel`."""
+def read_obj(path: str, backend: str = "auto") -> ObjModel:
+    """Load an OBJ file (plus any ``mtllib``) into an :class:`ObjModel`.
+
+    ``backend``: ``"native"`` forces the C++ parser
+    (:mod:`..native`, the analog of the reference's C++ host runtime),
+    ``"python"`` forces this module's pure-Python parser, ``"auto"``
+    (default) prefers native when the library is available and falls
+    back silently. Both produce identical models (tested).
+    The ``MCPT_NATIVE`` env var (0/1) overrides ``"auto"``.
+    """
+    if backend == "auto":
+        env = os.environ.get("MCPT_NATIVE")
+        if env is not None:
+            backend = "native" if env not in ("0", "false", "") else "python"
+    if backend in ("auto", "native"):
+        from ..native import available, read_obj_native
+
+        if available():
+            return read_obj_native(path)
+        if backend == "native":
+            from ..native import build_error
+
+            raise RuntimeError(f"native parser unavailable: {build_error()}")
+    return _read_obj_py(path)
+
+
+def _read_obj_py(path: str) -> ObjModel:
+    """Pure-Python reference implementation of :func:`read_obj`."""
     model = ObjModel(path=path)
     group = "default"
     model.groups.setdefault(group, [])
