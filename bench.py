@@ -77,8 +77,11 @@ def main():
     r.render(1)
     print(f"warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    from montecarlopathtracer_tpu.utils.profiling import trace
+
     t0 = time.perf_counter()
-    r.render(passes)
+    with trace(os.environ.get("BENCH_PROFILE_DIR")):
+        r.render(passes)
     dt = time.perf_counter() - t0
 
     samples = width * height * spp_per_pass * passes

@@ -45,11 +45,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--illum", type=float, default=10.0)
     p.add_argument("--ray-chunk", type=int, default=30000)
+    p.add_argument(
+        "--intersector",
+        choices=["auto", "megakernel", "fused", "brute", "kdtree"],
+        default="auto",
+        help="'auto' = megakernel on TPU, brute elsewhere; 'kdtree' "
+        "builds the accelerator (native C++ builder when available)",
+    )
     p.add_argument("--tonemap", choices=["linear", "gamma"], default="linear")
+    p.add_argument(
+        "--accum",
+        choices=["linear", "gamma"],
+        default="linear",
+        help="film accumulation space: 'linear' (CUDA estimator) or "
+        "'gamma' (MCRT's gamma-space running mean, rtx.hlsl:400-404)",
+    )
     p.add_argument("--out", default="result.png")
     p.add_argument("--step-dir", default=None, help="per-pass PNG dump dir")
     p.add_argument("--checkpoint", default=None, help="film checkpoint path")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace of the render here",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -73,14 +92,43 @@ def load_scene(name: str, width: int, height: int):
 
 
 def main(argv=None) -> int:
+    import jax
+
     args = build_parser().parse_args(argv)
     scene, camera = load_scene(args.scene, args.width, args.height)
+
+    intersector = args.intersector
+    if intersector == "auto":
+        intersector = (
+            "megakernel" if jax.default_backend() == "tpu" else "brute"
+        )
+    ray_chunk = args.ray_chunk
+    if intersector in ("megakernel", "fused"):
+        # The fused kernels never materialize [rays, tris]; trace the
+        # whole frame as one wavefront unless the user chunked it.
+        ray_chunk = 0 if args.ray_chunk == 30000 else args.ray_chunk
+
+    accel = None
+    if intersector == "kdtree":
+        import numpy as np
+
+        from .accel.kdtree import build_flat_kdtree
+        from .ops.traverse import KDArrays
+
+        a, b, c = scene.triangle_vertices()
+        flat = build_flat_kdtree(
+            np.asarray(a), np.asarray(b), np.asarray(c),
+            np.asarray(scene.tri_valid),
+        )
+        accel = KDArrays.from_flat(flat)
+
     config = TraceConfig(
         mode=args.mode,
         max_depth=args.max_depth,
         rr_depth=args.rr_depth,
         illum=args.illum,
-        ray_chunk=args.ray_chunk,
+        ray_chunk=ray_chunk,
+        intersector=intersector,
     )
     settings = RenderSettings(
         width=args.width,
@@ -89,13 +137,17 @@ def main(argv=None) -> int:
         passes=args.passes,
         seed=args.seed,
         tonemap=args.tonemap,
+        accum=args.accum,
         step_dir=args.step_dir,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
     )
     log = RenderLog(enabled=not args.quiet)
-    r = Renderer(scene, camera, config, settings, log=log)
-    r.render()
+    r = Renderer(scene, camera, config, settings, log=log, accel=accel)
+    from .utils.profiling import trace
+
+    with trace(args.profile_dir):
+        r.render()
     r.save_png(args.out)
     if not args.quiet:
         print(

@@ -32,7 +32,14 @@ from ..scene.camera import Camera
 from ..ops.rng import make_key
 from ..utils.image import save_png
 from ..utils.logging import RenderLog
-from .film import Film, film_update, tonemap_linear, tonemap_gamma
+from .film import (
+    Film,
+    film_update,
+    film_update_gamma,
+    tonemap_linear,
+    tonemap_gamma,
+    tonemap_identity,
+)
 from .integrator import TraceConfig, render_rows_planar
 
 
@@ -47,6 +54,8 @@ class RenderSettings:
     passes: int = 25
     seed: int = 0
     tonemap: str = "linear"  # "linear" (CUDA) or "gamma" (MCRT display)
+    accum: str = "linear"  # "linear" (CUDA) or "gamma" (MCRT's biased
+    # gamma-space running mean, rtx.hlsl:400-404)
     step_dir: Optional[str] = None  # per-pass PNG dumps when set
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0  # passes between checkpoints (0 = off)
@@ -63,6 +72,7 @@ def _pass_step(
     height: int,
     spp: int,
     config: TraceConfig,
+    accum: str = "linear",
 ) -> Film:
     """One progressive pass: mean of ``spp`` full-frame sample batches,
     folded into the film with weight ``spp``."""
@@ -86,7 +96,8 @@ def _pass_step(
     total, _ = jax.lax.scan(
         one_sample, jnp.zeros((3, height, width), jnp.float32), jnp.arange(spp)
     )
-    return film_update(film, total.transpose(1, 2, 0) / spp, float(spp))
+    update = film_update_gamma if accum == "gamma" else film_update
+    return update(film, total.transpose(1, 2, 0) / spp, float(spp))
 
 
 class Renderer:
@@ -115,6 +126,7 @@ class Renderer:
                 height=s.height,
                 spp=s.spp_per_pass,
                 config=config,
+                accum=s.accum,
             ),
             donate_argnums=(2,),
         )
@@ -134,6 +146,7 @@ class Renderer:
             tmp if tmp.endswith(".npz") else tmp,
             color=np.asarray(self.film.color),
             weight=np.asarray(self.film.weight),
+            m2=np.asarray(self.film.m2),
             seed=np.int64(self.settings.seed),
             pass_idx=np.int64(self.pass_idx),
         )
@@ -149,7 +162,9 @@ class Renderer:
                     f"{self.settings.seed}"
                 )
             self.film = Film(
-                color=jnp.asarray(z["color"]), weight=jnp.asarray(z["weight"])
+                color=jnp.asarray(z["color"]),
+                weight=jnp.asarray(z["weight"]),
+                m2=jnp.asarray(z["m2"]) if "m2" in z else jnp.zeros(()),
             )
             self.pass_idx = int(z["pass_idx"])
 
@@ -175,6 +190,12 @@ class Renderer:
                 seconds=dt,
                 pass_idx=self.pass_idx,
                 total_spp=float(np.asarray(self.film.weight)),
+                # Online noise estimate: std of the film mean (Welford
+                # over pass means) — SURVEY.md §5 metrics gap.
+                noise=round(
+                    float(np.sqrt(np.asarray(self.film.variance_of_mean()))),
+                    6,
+                ),
             )
             if s.step_dir:
                 save_png(
@@ -192,6 +213,9 @@ class Renderer:
         return self.film
 
     def image_u8(self) -> np.ndarray:
+        if self.settings.accum == "gamma":
+            # The film already stores gamma-encoded values.
+            return tonemap_identity(self.film.color)
         if self.settings.tonemap == "gamma":
             return tonemap_gamma(self.film.color)
         return tonemap_linear(self.film.color)

@@ -142,6 +142,27 @@ class Camera:
         return o.T, d.T
 
 
+def camera_for_mcrt(width: int, height: int) -> Camera:
+    """The MCRT backend's camera (GraphicsRTX.cpp:173-184): eye (0,5,17)
+    looking at (0,5,16) (−z), up +Y, *vertical* FOV π/4 with aspect on
+    the horizontal axis, ±0.5 px jitter (rtx.hlsl:385-386)."""
+    tan_half_y = math.tan(math.pi / 8.0)
+    cam = Camera.look(
+        (0.0, 5.0, 17.0),
+        (0.0, 0.0, -1.0),
+        (0.0, 1.0, 0.0),
+        width=width,
+        height=height,
+        fov_x_deg=60.0,  # overwritten below
+        jitter=0.5,
+    )
+    return dataclasses.replace(
+        cam,
+        tan_half_y=jnp.float32(tan_half_y),
+        tan_half_x=jnp.float32(tan_half_y * width / height),
+    )
+
+
 def camera_for_scene(scene_id: int, width: int, height: int) -> Camera:
     """The reference's hardcoded per-scene cameras (CUTracer.cu:347-374):
     scene 1 eye=(0,5,17), scene 2 eye=(0,5,23), both looking −z, 60° FOV,

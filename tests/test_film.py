@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from montecarlopathtracer_tpu.render.film import (
     Film,
     film_update,
+    film_update_gamma,
     tonemap_linear,
     tonemap_gamma,
 )
@@ -36,6 +37,36 @@ def test_weighted_batches():
     film = film_update(film, jnp.full((1, 1, 3), 1.0), 3.0)
     film = film_update(film, jnp.full((1, 1, 3), 5.0), 1.0)
     np.testing.assert_allclose(np.asarray(film.color), 2.0, rtol=1e-6)
+
+
+def test_gamma_accumulation_matches_reference_recurrence():
+    """MCRT's gamma-space running mean (rtx.hlsl:400-404): encoded film
+    c_k satisfies c_k^2.2 = mean of linear batches."""
+    rng = np.random.default_rng(1)
+    batches = [rng.uniform(size=(2, 2, 3)).astype(np.float32) for _ in range(5)]
+    film = Film.zeros(2, 2)
+    for b in batches:
+        film = film_update_gamma(film, jnp.asarray(b), 1.0)
+    decoded = np.power(np.asarray(film.color), 2.2)
+    np.testing.assert_allclose(decoded, np.mean(batches, axis=0), rtol=1e-4)
+
+
+def test_variance_estimate_tracks_batch_spread():
+    """Welford m2: identical batches → zero variance; spread batches →
+    positive, roughly var/n of the batch means."""
+    film = Film.zeros(1, 1)
+    for _ in range(5):
+        film = film_update(film, jnp.full((1, 1, 3), 2.0), 1.0)
+    assert float(film.variance_of_mean()) < 1e-12
+
+    rng = np.random.default_rng(2)
+    vals = rng.normal(1.0, 0.5, size=100).astype(np.float32)
+    film = Film.zeros(1, 1)
+    for v in vals:
+        film = film_update(film, jnp.full((1, 1, 3), float(v)), 1.0)
+    est = float(film.variance_of_mean())
+    expected = float(np.var(vals, ddof=1) / len(vals))
+    assert 0.5 * expected < est < 2.0 * expected, (est, expected)
 
 
 def test_tonemaps():
