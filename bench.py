@@ -79,10 +79,14 @@ def main():
 
     from montecarlopathtracer_tpu.utils.profiling import trace
 
+    # Time rendering, not logging: each per-pass log line fetches the
+    # noise scalar from the device (~45 ms over the remote-TPU tunnel).
+    log.enabled = False
     t0 = time.perf_counter()
     with trace(os.environ.get("BENCH_PROFILE_DIR")):
         r.render(passes)
     dt = time.perf_counter() - t0
+    log.enabled = True
 
     samples = width * height * spp_per_pass * passes
     msamples_s = samples / dt / 1e6

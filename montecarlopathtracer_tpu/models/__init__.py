@@ -1,3 +1,4 @@
 from . import cornell
+from . import glossy
 
-__all__ = ["cornell"]
+__all__ = ["cornell", "glossy"]

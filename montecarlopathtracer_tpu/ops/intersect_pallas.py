@@ -44,7 +44,16 @@ from .intersect import Hit, triangle_transforms
 _BIG = 3.0e38  # plain float: a jnp scalar here would be closure-captured
 # by the kernel, which pallas_call rejects ("captures constants").
 _RAY_TILE = 256
-_T_CHUNK = 2048  # triangles per inner chunk: bounds VMEM temporaries
+_T_CHUNK = 1024  # triangles per inner chunk: bounds VMEM temporaries
+_T_CHUNK_CULLED = 256  # chunk granularity for AABB culling
+
+
+def _divisor_chunk(T: int, want: int, step: int = 128) -> int:
+    """Largest chunk ≤ ``want`` that divides T (T is 128-padded)."""
+    c = min(want, T)
+    while T % c:
+        c -= step
+    return max(c, step)
 
 
 def pack_transforms(
@@ -142,8 +151,7 @@ def nearest_triangle(
     """Index of the nearest accepted triangle per ray (−1 = miss)."""
     R = origins.shape[0]
     T = w.shape[2]
-    t_chunk = min(t_chunk, T)
-    assert T % t_chunk == 0, (T, t_chunk)
+    t_chunk = _divisor_chunk(T, t_chunk)
     pad = (-R) % ray_tile
     if pad:
         origins = jnp.concatenate(
@@ -212,10 +220,13 @@ def pack_shading_table(scene) -> jnp.ndarray:
 def _nearest_shade_kernel(
     rays_ref, w_ref, table_ref, idx_ref, tbg_ref, shade_ref, *, t_chunk: int
 ):
-    """Pass 1: nearest-hit search. Pass 2: re-walk the chunks, build the
-    winner one-hot in VMEM, and contract it with the shading table on
-    the MXU — shading data exits the kernel as a dense (32, Rt) block,
-    no gathers anywhere.
+    """Pass 1: nearest-hit search, carrying the winner's (t, β, γ)
+    incrementally (the chunk winner's β/γ are extracted with a cheap
+    masked reduction while the chunk's primed coordinates are live, so
+    nothing is ever recomputed and VMEM stays O(chunk), not O(T)).
+    Pass 2: shade-only — build the winner one-hot per chunk and contract
+    it with the shading table on the MXU; shading data exits the kernel
+    as a dense (32, Rt) block, no gathers anywhere.
 
     Everything is laid out with the ray axis LAST (on the 128 vector
     lanes): rays (8, Rt), per-chunk primed coords (Tc, Rt), outputs
@@ -236,48 +247,59 @@ def _nearest_shade_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def tbg_for_chunk(sl):
+    def chunk_update(carry, ci, sl, reach=None):
+        """Fold chunk ci into the running (t, i, β, γ) winner."""
+        bt, bi, bb, bg = carry
         opx, opy, opz = comp(0, sl), comp(1, sl), comp(2, sl)
         dpx, dpy, dpz = comp(3, sl), comp(4, sl), comp(5, sl)
         dz_ok = jnp.abs(dpz) > 1e-12
         t = jnp.where(dz_ok, -opz / jnp.where(dz_ok, dpz, 1.0), -1.0)
         beta = opx + t * dpx
         gamma = opy + t * dpy
-        base_ok = (
+        ok = (
             dz_ok
             & (beta > 0.0)
             & (gamma > 0.0)
             & (beta + gamma < 1.0)
             & (t > 0.0)
+            & (t < bt[None, :])
         )
-        return t, beta, gamma, base_ok
-
-    # ---- pass 1: nearest hit -------------------------------------------------
-    best_t = jnp.full((Rt,), _BIG, jnp.float32)
-    best_i = jnp.full((Rt,), 2**31 - 1, jnp.int32)
-    for ci in range(n_chunks):
-        sl = pl.ds(ci * t_chunk, t_chunk)
-        t, beta, gamma, base_ok = tbg_for_chunk(sl)
-        ok = base_ok & (t < best_t[None, :])
+        if reach is not None:
+            ok = ok & reach[None, :]
         t_masked = jnp.where(ok, t, _BIG)
         c_min = jnp.min(t_masked, axis=0)  # (Rt,)
         winner = ok & (t_masked <= c_min[None, :])
         c_idx = jnp.min(
             jnp.where(winner, col + ci * t_chunk, jnp.int32(2**31 - 1)), axis=0
         )
-        better = c_min < best_t
-        best_t = jnp.where(better, c_min, best_t)
-        best_i = jnp.where(better, c_idx, best_i)
+        first = (col + ci * t_chunk == c_idx[None, :]) & winner
+        sel = first.astype(jnp.float32)
+        c_beta = jnp.sum(sel * beta, axis=0)
+        c_gamma = jnp.sum(sel * gamma, axis=0)
+        better = c_min < bt
+        return (
+            jnp.where(better, c_min, bt),
+            jnp.where(better, c_idx, bi),
+            jnp.where(better, c_beta, bb),
+            jnp.where(better, c_gamma, bg),
+        )
 
+    # ---- pass 1: nearest hit + winner β/γ -------------------------------------
+    carry = (
+        jnp.full((Rt,), _BIG, jnp.float32),
+        jnp.full((Rt,), 2**31 - 1, jnp.int32),
+        jnp.zeros((Rt,), jnp.float32),
+        jnp.zeros((Rt,), jnp.float32),
+    )
+    for ci in range(n_chunks):
+        carry = chunk_update(carry, ci, pl.ds(ci * t_chunk, t_chunk))
+    best_t, best_i, beta_sel, gamma_sel = carry
     hit = best_t < _BIG
 
-    # ---- pass 2: winner one-hot × shading table ------------------------------
+    # ---- pass 2: winner one-hot × shading table (no recompute) ----------------
     shade = jnp.zeros((table_ref.shape[1], Rt), jnp.float32)
-    beta_sel = jnp.zeros((Rt,), jnp.float32)
-    gamma_sel = jnp.zeros((Rt,), jnp.float32)
     for ci in range(n_chunks):
         sl = pl.ds(ci * t_chunk, t_chunk)
-        t, beta, gamma, _ = tbg_for_chunk(sl)
         onehot = (col + ci * t_chunk == best_i[None, :]).astype(jnp.float32)
         # (Tc, 32) · (Tc, Rt) → (32, Rt) on the MXU
         shade = shade + jax.lax.dot_general(
@@ -286,8 +308,6 @@ def _nearest_shade_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        beta_sel = beta_sel + jnp.sum(onehot * beta, axis=0)
-        gamma_sel = gamma_sel + jnp.sum(onehot * gamma, axis=0)
 
     idx_ref[0, :] = jnp.where(hit, best_i, jnp.int32(-1))
     tbg_ref[0, :] = jnp.where(hit, best_t, _BIG)
@@ -316,8 +336,7 @@ def nearest_shade(
     """
     R = pos3.shape[1]
     T = w.shape[2]
-    t_chunk = min(t_chunk, T)
-    assert T % t_chunk == 0, (T, t_chunk)
+    t_chunk = _divisor_chunk(T, t_chunk)
     pad = (-R) % ray_tile
     if pad:
         pos3 = jnp.concatenate(
@@ -364,6 +383,276 @@ def nearest_shade(
         ),
         interpret=interpret,
     )(rays, w, table)
+    return idx[0, :R], tbg[:, :R], shade[:, :R]
+
+
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x to every 3rd bit (Morton helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_order(
+    a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, tri_valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Spatial (Morton/Z-curve) ordering of triangles by centroid.
+
+    Returns a permutation i32[T] with invalid (padding) triangles last.
+    Reordering the triangle axis this way makes fixed 128-column chunks
+    spatially tight, so their AABBs cull well — the TPU-shaped
+    replacement for per-ray tree traversal: culling decisions are per
+    (ray-tile × chunk), i.e. scalar control flow, never per lane.
+    """
+    cent = (a + b + c) / 3.0
+    big = jnp.float32(3.0e38)
+    vm = tri_valid[:, None]
+    lo = jnp.min(jnp.where(vm, cent, big), axis=0)
+    hi = jnp.max(jnp.where(vm, cent, -big), axis=0)
+    q = jnp.clip((cent - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+    q = (q * 1023.0).astype(jnp.uint32)
+    code = (
+        _part1by2(q[:, 0])
+        | (_part1by2(q[:, 1]) << 1)
+        | (_part1by2(q[:, 2]) << 2)
+    )
+    code = jnp.where(tri_valid, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code).astype(jnp.int32)
+
+
+def chunk_aabbs(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    tri_valid: jnp.ndarray,
+    perm: jnp.ndarray,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-chunk AABBs over the permuted triangle axis.
+
+    Returns (clo f32[nc, 3], chi f32[nc, 3]). A chunk holding only
+    padding triangles gets a degenerate point box at the origin — rays
+    may spuriously "hit" it, but its transform columns are zeroed by
+    ``pack_transforms`` so no triangle can be accepted (correctness is
+    never a function of the boxes, only culling efficiency is).
+    """
+    T = a.shape[0]
+    assert T % chunk == 0, (T, chunk)
+    big = jnp.float32(3.0e38)
+    tlo = jnp.minimum(jnp.minimum(a, b), c)[perm]
+    thi = jnp.maximum(jnp.maximum(a, b), c)[perm]
+    v = tri_valid[perm][:, None]
+    tlo = jnp.where(v, tlo, big)
+    thi = jnp.where(v, thi, -big)
+    nc = T // chunk
+    clo = tlo.reshape(nc, chunk, 3).min(axis=1)
+    chi = thi.reshape(nc, chunk, 3).max(axis=1)
+    empty = (clo[:, 0] > chi[:, 0])[:, None]
+    clo = jnp.where(empty, 0.0, clo)
+    chi = jnp.where(empty, 0.0, chi)
+    return clo, chi
+
+
+def _nearest_shade_culled_kernel(
+    rays_ref, live_ref, w_ref, table_ref, clo_ref, chi_ref,
+    idx_ref, tbg_ref, shade_ref, *, t_chunk: int
+):
+    """Culled megakernel: per (ray tile × triangle chunk), a cheap VPU
+    slab test against the chunk's AABB decides — as ONE scalar predicate
+    via `lax.cond` — whether the chunk's 6 rank-8 contractions run at
+    all. Dead lanes (live == 0) can never extend a chunk's reach, so a
+    fully-terminated tile skips every chunk.
+
+    Same outputs/contract and same incremental winner-(t, β, γ)
+    structure as `_nearest_shade_kernel` (VMEM stays O(chunk)).
+    """
+    rays = rays_ref[:]  # (8, Rt)
+    live = live_ref[0, :] > 0.0  # (Rt,)
+    Rt = rays.shape[1]
+    T = w_ref.shape[2]
+    n_chunks = T // t_chunk
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_chunk, Rt), 0)
+
+    def comp(k, sl):
+        return jax.lax.dot_general(
+            w_ref[k, :, sl],
+            rays,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def box_reach(ci, tmax):
+        """Rays whose segment [0, tmax] can enter chunk ci's AABB."""
+        tn = jnp.full((Rt,), -_BIG, jnp.float32)
+        tf = jnp.full((Rt,), _BIG, jnp.float32)
+        for k in range(3):
+            o_k = rays[k]
+            d_k = rays[4 + k]
+            lo = clo_ref[ci, k]
+            hi = chi_ref[ci, k]
+            zero = jnp.abs(d_k) < 1e-12
+            inv = 1.0 / jnp.where(zero, 1.0, d_k)
+            t0 = (lo - o_k) * inv
+            t1 = (hi - o_k) * inv
+            inside = (o_k >= lo) & (o_k <= hi)
+            tnk = jnp.where(
+                zero, jnp.where(inside, -_BIG, _BIG), jnp.minimum(t0, t1)
+            )
+            tfk = jnp.where(
+                zero, jnp.where(inside, _BIG, -_BIG), jnp.maximum(t0, t1)
+            )
+            tn = jnp.maximum(tn, tnk)
+            tf = jnp.minimum(tf, tfk)
+        return (tn <= tf) & (tf >= 0.0) & (tn < tmax) & live
+
+    # ---- pass 1: nearest hit + winner β/γ, with chunk culling ------------------
+    carry = (
+        jnp.full((Rt,), _BIG, jnp.float32),
+        jnp.full((Rt,), 2**31 - 1, jnp.int32),
+        jnp.zeros((Rt,), jnp.float32),
+        jnp.zeros((Rt,), jnp.float32),
+    )
+    for ci in range(n_chunks):
+        sl = pl.ds(ci * t_chunk, t_chunk)
+        reach = box_reach(ci, carry[0])
+
+        def run_chunk(c, ci=ci, sl=sl, reach=reach):
+            bt, bi, bb, bg = c
+            opx, opy, opz = comp(0, sl), comp(1, sl), comp(2, sl)
+            dpx, dpy, dpz = comp(3, sl), comp(4, sl), comp(5, sl)
+            dz_ok = jnp.abs(dpz) > 1e-12
+            t = jnp.where(dz_ok, -opz / jnp.where(dz_ok, dpz, 1.0), -1.0)
+            beta = opx + t * dpx
+            gamma = opy + t * dpy
+            ok = (
+                dz_ok
+                & (beta > 0.0)
+                & (gamma > 0.0)
+                & (beta + gamma < 1.0)
+                & (t > 0.0)
+                & (t < bt[None, :])
+                & reach[None, :]
+            )
+            t_masked = jnp.where(ok, t, _BIG)
+            c_min = jnp.min(t_masked, axis=0)
+            winner = ok & (t_masked <= c_min[None, :])
+            c_idx = jnp.min(
+                jnp.where(winner, col + ci * t_chunk, jnp.int32(2**31 - 1)),
+                axis=0,
+            )
+            first = (col + ci * t_chunk == c_idx[None, :]) & winner
+            sel = first.astype(jnp.float32)
+            c_beta = jnp.sum(sel * beta, axis=0)
+            c_gamma = jnp.sum(sel * gamma, axis=0)
+            better = c_min < bt
+            return (
+                jnp.where(better, c_min, bt),
+                jnp.where(better, c_idx, bi),
+                jnp.where(better, c_beta, bb),
+                jnp.where(better, c_gamma, bg),
+            )
+
+        carry = jax.lax.cond(jnp.any(reach), run_chunk, lambda c: c, carry)
+
+    best_t, best_i, beta_sel, gamma_sel = carry
+    hit = best_t < _BIG
+
+    # ---- pass 2: winner one-hot × shading table (only winner chunks) ----------
+    shade = jnp.zeros((table_ref.shape[1], Rt), jnp.float32)
+    for ci in range(n_chunks):
+        sl = pl.ds(ci * t_chunk, t_chunk)
+        in_chunk = hit & (best_i >= ci * t_chunk) & (best_i < (ci + 1) * t_chunk)
+
+        def run_shade(sh, ci=ci, sl=sl):
+            onehot = (col + ci * t_chunk == best_i[None, :]).astype(jnp.float32)
+            return sh + jax.lax.dot_general(
+                table_ref[sl, :],
+                onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        shade = jax.lax.cond(jnp.any(in_chunk), run_shade, lambda s: s, shade)
+
+    idx_ref[0, :] = jnp.where(hit, best_i, jnp.int32(-1))
+    tbg_ref[0, :] = jnp.where(hit, best_t, _BIG)
+    tbg_ref[1, :] = beta_sel
+    tbg_ref[2, :] = gamma_sel
+    tbg_ref[3, :] = hit.astype(jnp.float32)
+    shade_ref[:, :] = shade
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_chunk", "interpret")
+)
+def nearest_shade_culled(
+    w: jnp.ndarray,  # f32[6, 8, T] (triangle axis in Morton order)
+    table: jnp.ndarray,  # f32[T, 32] (same order)
+    clo: jnp.ndarray,  # f32[nc, 3] chunk AABB lows
+    chi: jnp.ndarray,  # f32[nc, 3] chunk AABB highs
+    pos3: jnp.ndarray,  # f32[3, R]
+    dir3: jnp.ndarray,  # f32[3, R]
+    live: jnp.ndarray,  # bool/f32[R] active-lane mask
+    ray_tile: int = _RAY_TILE,
+    t_chunk: int = _T_CHUNK_CULLED,
+    interpret: bool = False,
+):
+    """Chunk-culled megakernel (see `_nearest_shade_culled_kernel`).
+
+    Same interface as `nearest_shade` plus the live mask; returned
+    indices are positions in the *permuted* triangle axis.
+    """
+    R = pos3.shape[1]
+    T = w.shape[2]
+    t_chunk = min(t_chunk, T)
+    assert T % t_chunk == 0, (T, t_chunk)
+    assert clo.shape[0] == T // t_chunk, (clo.shape, T, t_chunk)
+    pad = (-R) % ray_tile
+    live_f = live.astype(jnp.float32)[None, :]  # (1, R)
+    if pad:
+        pos3 = jnp.concatenate([pos3, jnp.zeros((3, pad), pos3.dtype)], axis=1)
+        dir3 = jnp.concatenate([dir3, jnp.zeros((3, pad), dir3.dtype)], axis=1)
+        live_f = jnp.concatenate(
+            [live_f, jnp.zeros((1, pad), jnp.float32)], axis=1
+        )
+    Rp = R + pad
+
+    rays = jnp.concatenate(
+        [
+            pos3,
+            jnp.ones((1, Rp), pos3.dtype),
+            dir3,
+            jnp.zeros((1, Rp), dir3.dtype),
+        ],
+        axis=0,
+    )  # (8, Rp)
+
+    idx, tbg, shade = pl.pallas_call(
+        functools.partial(_nearest_shade_culled_kernel, t_chunk=t_chunk),
+        grid=(Rp // ray_tile,),
+        in_specs=[
+            pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # clo (scalar reads)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chi
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((4, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((32, Rp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rays, live_f, w, table, clo, chi)
     return idx[0, :R], tbg[:, :R], shade[:, :R]
 
 

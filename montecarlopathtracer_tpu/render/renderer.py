@@ -183,20 +183,24 @@ class Renderer:
             self.film.color.block_until_ready()
             dt = time.perf_counter() - t0
             self.pass_idx += 1
-            self.log.batch(
-                spp=s.spp_per_pass,
-                width=s.width,
-                height=s.height,
-                seconds=dt,
-                pass_idx=self.pass_idx,
-                total_spp=float(np.asarray(self.film.weight)),
-                # Online noise estimate: std of the film mean (Welford
-                # over pass means) — SURVEY.md §5 metrics gap.
-                noise=round(
-                    float(np.sqrt(np.asarray(self.film.variance_of_mean()))),
-                    6,
-                ),
-            )
+            if self.log.enabled:
+                # The film weight is deterministic (spp × passes folded
+                # in), so don't fetch it; m2 is the only device→host
+                # scalar, and each fetch costs ~10s of ms on a remote
+                # TPU. No eager device ops here for the same reason.
+                weight = s.spp_per_pass * self.pass_idx
+                m2 = float(np.asarray(self.film.m2))
+                self.log.batch(
+                    spp=s.spp_per_pass,
+                    width=s.width,
+                    height=s.height,
+                    seconds=dt,
+                    pass_idx=self.pass_idx,
+                    total_spp=float(weight),
+                    # Online noise estimate: std of the film mean
+                    # (Welford over pass means) — SURVEY.md §5 metrics.
+                    noise=round(float(np.sqrt(m2)) / max(weight, 1e-20), 6),
+                )
             if s.step_dir:
                 save_png(
                     os.path.join(s.step_dir, f"step{self.pass_idx - 1:06d}.png"),

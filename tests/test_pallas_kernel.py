@@ -167,6 +167,56 @@ def test_nearest_shade_megakernel_matches_gather_path():
         assert np.abs(np.asarray(shade).T[miss]).max() == 0.0
 
 
+def test_nearest_shade_culled_matches_uncullled_and_masks_dead_lanes():
+    """Chunk culling must not change any result (boxes only affect
+    which chunks run); dead lanes must come back as misses."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms,
+        pack_shading_table,
+        nearest_shade,
+        nearest_shade_culled,
+        morton_order,
+        chunk_aabbs,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=16, height=16
+    )
+    av, bv, cv = scene.triangle_vertices()
+    m, m_a = _transforms(av, bv, cv)
+
+    perm = morton_order(av, bv, cv, scene.tri_valid)
+    w = pack_transforms(m[perm], m_a[perm], scene.tri_valid[perm])
+    table = pack_shading_table(scene)[perm]
+    clo, chi = chunk_aabbs(av, bv, cv, scene.tri_valid, perm, 128)
+
+    R = 256
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 16, pix // 16, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 16, 16
+    )
+    live = jnp.arange(R) % 3 != 0  # kill a third of the lanes
+
+    idx_u, tbg_u, shade_u = nearest_shade(
+        w, table, o.T, d.T, ray_tile=128, t_chunk=128, interpret=True
+    )
+    idx_c, tbg_c, shade_c = nearest_shade_culled(
+        w, table, clo, chi, o.T, d.T, live,
+        ray_tile=128, t_chunk=128, interpret=True,
+    )
+    lv = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(idx_c)[lv], np.asarray(idx_u)[lv])
+    np.testing.assert_allclose(
+        np.asarray(tbg_c)[:, lv], np.asarray(tbg_u)[:, lv], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(shade_c)[:, lv], np.asarray(shade_u)[:, lv], rtol=1e-6
+    )
+    # dead lanes report miss
+    assert (np.asarray(idx_c)[~lv] == -1).all()
+    assert (np.asarray(tbg_c)[3][~lv] == 0.0).all()
+
+
 def test_megakernel_trace_matches_brute_trace():
     """Full wavefront trace with intersector='megakernel' (interpret
     mode) must produce the same radiance as the brute path — identical
