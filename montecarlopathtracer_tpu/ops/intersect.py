@@ -85,7 +85,7 @@ def triangle_transforms(
     r1 = jnp.cross(n, e_b)  # adj row for the e_c coordinate
     r2 = n  # row for the n coordinate: n·n/det = 1
     m = jnp.stack([r0, r1, r2], axis=-2) * inv_det[..., None, None]
-    m_a = jnp.einsum("tij,tj->ti", m, a)
+    m_a = jnp.einsum("tij,tj->ti", m, a, precision=jax.lax.Precision.HIGHEST)
     return m, m_a
 
 
@@ -156,8 +156,15 @@ def intersect_brute(
         w_c = jax.lax.dynamic_slice_in_dim(w, i * t_chunk * 3, t_chunk * 3, axis=1)
         ma_c = chunk_slice(m_a, i)
         valid_c = chunk_slice(tri_valid, i)
-        o_p = (origins @ w_c).reshape(R, t_chunk, 3) - ma_c[None, :, :]
-        d_p = (dirs @ w_c).reshape(R, t_chunk, 3)
+        # Explicit full-f32 contraction: XLA's DEFAULT matmul precision
+        # on TPU feeds the MXU bf16 inputs, which measured 0.4% median /
+        # 6.5% max relative error in t against an f64 oracle — far past
+        # the 0.01 self-intersection epsilon at scene scale.
+        hp = jax.lax.Precision.HIGHEST
+        o_p = jnp.matmul(origins, w_c, precision=hp).reshape(
+            R, t_chunk, 3
+        ) - ma_c[None, :, :]
+        d_p = jnp.matmul(dirs, w_c, precision=hp).reshape(R, t_chunk, 3)
         idx, t, beta, gamma = _closest_hit_from_primed(o_p, d_p, valid_c, best_t)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)

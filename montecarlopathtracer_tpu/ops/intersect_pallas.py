@@ -100,6 +100,12 @@ def _nearest_kernel(rays_ref, w_ref, idx_ref, *, t_chunk: int):
         sl = pl.ds(ci * t_chunk, t_chunk)
 
         def comp(k):
+            # Selection-only contraction: DEFAULT (single-pass bf16)
+            # precision is enough to pick the winning triangle — the
+            # winner's exact f32 (t, beta, gamma) are recomputed outside
+            # the kernel by `refine_hit` (O(R), gathered, exact), so
+            # bf16 error can only flip edge-case ties between adjacent
+            # triangles, never corrupt hit geometry.
             return jax.lax.dot_general(
                 rays,
                 w_ref[k, :, sl],
@@ -217,20 +223,20 @@ def pack_shading_table(scene) -> jnp.ndarray:
     return jnp.concatenate([table, pad], axis=1)
 
 
-def _nearest_shade_kernel(
-    rays_ref, w_ref, table_ref, idx_ref, tbg_ref, shade_ref, *, t_chunk: int
-):
-    """Pass 1: nearest-hit search, carrying the winner's (t, β, γ)
-    incrementally (the chunk winner's β/γ are extracted with a cheap
-    masked reduction while the chunk's primed coordinates are live, so
-    nothing is ever recomputed and VMEM stays O(chunk), not O(T)).
-    Pass 2: shade-only — build the winner one-hot per chunk and contract
-    it with the shading table on the MXU; shading data exits the kernel
-    as a dense (32, Rt) block, no gathers anywhere.
+def _nearest_idx_kernel(rays_ref, w_ref, idx_ref, *, t_chunk: int):
+    """Selection-only nearest-hit kernel (SoA ray layout).
+
+    DEFAULT (single-pass bf16) matmul precision is deliberate: the
+    kernel only has to *pick* the winning triangle — the winner's exact
+    f32 (t, β, γ) and shading row are reconstructed outside the kernel
+    by :func:`_refine_winner_soa` with O(R) work, so bf16 error can only
+    flip edge-case ties between adjacent triangles, never corrupt hit
+    geometry (measured: f64-oracle t error 6e-8 after refinement vs
+    4e-3 when trusting in-kernel bf16 values).
 
     Everything is laid out with the ray axis LAST (on the 128 vector
-    lanes): rays (8, Rt), per-chunk primed coords (Tc, Rt), outputs
-    (·, Rt) — full lane utilization throughout.
+    lanes): rays (8, Rt), per-chunk primed coords (Tc, Rt), output
+    (1, Rt) — full lane utilization throughout.
     """
     rays = rays_ref[:]  # (8, Rt)
     Rt = rays.shape[1]
@@ -247,9 +253,10 @@ def _nearest_shade_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def chunk_update(carry, ci, sl, reach=None):
-        """Fold chunk ci into the running (t, i, β, γ) winner."""
-        bt, bi, bb, bg = carry
+    best_t = jnp.full((Rt,), _BIG, jnp.float32)
+    best_i = jnp.full((Rt,), 2**31 - 1, jnp.int32)
+    for ci in range(n_chunks):
+        sl = pl.ds(ci * t_chunk, t_chunk)
         opx, opy, opz = comp(0, sl), comp(1, sl), comp(2, sl)
         dpx, dpy, dpz = comp(3, sl), comp(4, sl), comp(5, sl)
         dz_ok = jnp.abs(dpz) > 1e-12
@@ -262,59 +269,79 @@ def _nearest_shade_kernel(
             & (gamma > 0.0)
             & (beta + gamma < 1.0)
             & (t > 0.0)
-            & (t < bt[None, :])
+            & (t < best_t[None, :])
         )
-        if reach is not None:
-            ok = ok & reach[None, :]
         t_masked = jnp.where(ok, t, _BIG)
         c_min = jnp.min(t_masked, axis=0)  # (Rt,)
         winner = ok & (t_masked <= c_min[None, :])
         c_idx = jnp.min(
             jnp.where(winner, col + ci * t_chunk, jnp.int32(2**31 - 1)), axis=0
         )
-        first = (col + ci * t_chunk == c_idx[None, :]) & winner
-        sel = first.astype(jnp.float32)
-        c_beta = jnp.sum(sel * beta, axis=0)
-        c_gamma = jnp.sum(sel * gamma, axis=0)
-        better = c_min < bt
-        return (
-            jnp.where(better, c_min, bt),
-            jnp.where(better, c_idx, bi),
-            jnp.where(better, c_beta, bb),
-            jnp.where(better, c_gamma, bg),
-        )
+        better = c_min < best_t
+        best_t = jnp.where(better, c_min, best_t)
+        best_i = jnp.where(better, c_idx, best_i)
 
-    # ---- pass 1: nearest hit + winner β/γ -------------------------------------
-    carry = (
-        jnp.full((Rt,), _BIG, jnp.float32),
-        jnp.full((Rt,), 2**31 - 1, jnp.int32),
-        jnp.zeros((Rt,), jnp.float32),
-        jnp.zeros((Rt,), jnp.float32),
+    idx_ref[0, :] = jnp.where(best_t < _BIG, best_i, jnp.int32(-1))
+
+
+def _soa_rays(pos3, dir3, Rp):
+    return jnp.concatenate(
+        [
+            pos3,
+            jnp.ones((1, Rp), pos3.dtype),
+            dir3,
+            jnp.zeros((1, Rp), dir3.dtype),
+        ],
+        axis=0,
+    )  # (8, Rp)
+
+
+def _refine_winner_soa(w, table, idx, rays):
+    """Exact (t, β, γ, hit) + shading row for the kernel-chosen winner.
+
+    Two *contiguous row* gathers (the winner's 12 transform values from
+    a [T, 16] row layout and its 32-value shading row — one cache-line
+    slice per ray, versus ~50 scattered words for a lane-axis gather
+    from w[6, 8, T], which measured 1.6× the whole selection kernel) +
+    small block transposes back to lane-major + ~30 f32 VPU flops per
+    ray. This is what makes the fast bf16 selection sound: every value
+    the integrator consumes is recomputed here in full f32.
+    """
+    hit = idx >= 0
+    hitf = hit.astype(jnp.float32)
+    tid = jnp.maximum(idx, 0)
+    # w[k, j, t] = m[t, k, j] for j < 3 and -m_a[t, k] at j = 3
+    # (pack_transforms). geom row t = [m_t row-major | -m_a_t] (T, 12);
+    # a loop-invariant reshape/transpose XLA hoists out of the scan.
+    geom = w[:3, :4, :].reshape(12, -1).T  # (T, 12)
+    g = geom[tid].T  # row gather (R, 12) → (12, R)
+    s = table[tid].T  # row gather (R, 32) → (32, R)
+    o, d = rays[0:3], rays[4:7]
+
+    def prime(base):
+        m0, m1, m2, nma = g[base], g[base + 1], g[base + 2], g[base + 3]
+        op = m0 * o[0] + m1 * o[1] + m2 * o[2] + nma
+        dp = m0 * d[0] + m1 * d[1] + m2 * d[2]
+        return op, dp
+
+    opx, dpx = prime(0)
+    opy, dpy = prime(4)
+    opz, dpz = prime(8)
+    safe = jnp.abs(dpz) > 1e-12
+    t = jnp.where(safe, -opz / jnp.where(safe, dpz, 1.0), _BIG)
+    beta = opx + t * dpx
+    gamma = opy + t * dpy
+    tbg = jnp.stack(
+        [
+            jnp.where(hit, t, _BIG),
+            jnp.where(hit, beta, 0.0),
+            jnp.where(hit, gamma, 0.0),
+            hitf,
+        ],
+        axis=0,
     )
-    for ci in range(n_chunks):
-        carry = chunk_update(carry, ci, pl.ds(ci * t_chunk, t_chunk))
-    best_t, best_i, beta_sel, gamma_sel = carry
-    hit = best_t < _BIG
-
-    # ---- pass 2: winner one-hot × shading table (no recompute) ----------------
-    shade = jnp.zeros((table_ref.shape[1], Rt), jnp.float32)
-    for ci in range(n_chunks):
-        sl = pl.ds(ci * t_chunk, t_chunk)
-        onehot = (col + ci * t_chunk == best_i[None, :]).astype(jnp.float32)
-        # (Tc, 32) · (Tc, Rt) → (32, Rt) on the MXU
-        shade = shade + jax.lax.dot_general(
-            table_ref[sl, :],
-            onehot,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    idx_ref[0, :] = jnp.where(hit, best_i, jnp.int32(-1))
-    tbg_ref[0, :] = jnp.where(hit, best_t, _BIG)
-    tbg_ref[1, :] = beta_sel
-    tbg_ref[2, :] = gamma_sel
-    tbg_ref[3, :] = hit.astype(jnp.float32)
-    shade_ref[:, :] = shade
+    shade = s * hitf[None, :]  # (32, R)
+    return tbg, shade
 
 
 @functools.partial(
@@ -329,61 +356,42 @@ def nearest_shade(
     t_chunk: int = _T_CHUNK,
     interpret: bool = False,
 ):
-    """Megakernel: nearest hit + (t, β, γ, hit) + shading row per ray.
+    """Megakernel: nearest hit + exact (t, β, γ, hit) + shading row.
 
     SoA interface: returns (idx i32[R], tbg f32[4, R], shade f32[32, R])
     — everything component-major, no transposes anywhere on the path.
+    Selection runs in the Pallas kernel at fast precision; all returned
+    values are exact f32 (see `_refine_winner_soa`).
     """
     R = pos3.shape[1]
     T = w.shape[2]
     t_chunk = _divisor_chunk(T, t_chunk)
     pad = (-R) % ray_tile
+    pos3p, dir3p = pos3, dir3
     if pad:
-        pos3 = jnp.concatenate(
-            [pos3, jnp.zeros((3, pad), pos3.dtype)], axis=1
-        )
-        dir3 = jnp.concatenate([dir3, jnp.zeros((3, pad), dir3.dtype)], axis=1)
+        pos3p = jnp.concatenate([pos3, jnp.zeros((3, pad), pos3.dtype)], axis=1)
+        dir3p = jnp.concatenate([dir3, jnp.zeros((3, pad), dir3.dtype)], axis=1)
     Rp = R + pad
+    rays = _soa_rays(pos3p, dir3p, Rp)
 
-    rays = jnp.concatenate(
-        [
-            pos3,
-            jnp.ones((1, Rp), pos3.dtype),
-            dir3,
-            jnp.zeros((1, Rp), dir3.dtype),
-        ],
-        axis=0,
-    )  # (8, Rp)
-
-    idx, tbg, shade = pl.pallas_call(
-        functools.partial(_nearest_shade_kernel, t_chunk=t_chunk),
+    idx = pl.pallas_call(
+        functools.partial(_nearest_idx_kernel, t_chunk=t_chunk),
         grid=(Rp // ray_tile,),
         in_specs=[
             pl.BlockSpec(
                 (8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # table
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (4, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (32, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
+        out_specs=pl.BlockSpec(
+            (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-            jax.ShapeDtypeStruct((4, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((32, Rp), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
         interpret=interpret,
-    )(rays, w, table)
-    return idx[0, :R], tbg[:, :R], shade[:, :R]
+    )(rays, w)
+    idx = idx[0, :R]
+    tbg, shade = _refine_winner_soa(w, table, idx, rays[:, :R])
+    return idx, tbg, shade
 
 
 def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
@@ -457,17 +465,17 @@ def chunk_aabbs(
 
 
 def _nearest_shade_culled_kernel(
-    rays_ref, live_ref, w_ref, table_ref, clo_ref, chi_ref,
-    idx_ref, tbg_ref, shade_ref, *, t_chunk: int
+    rays_ref, live_ref, w_ref, clo_ref, chi_ref, idx_ref, *, t_chunk: int
 ):
-    """Culled megakernel: per (ray tile × triangle chunk), a cheap VPU
-    slab test against the chunk's AABB decides — as ONE scalar predicate
-    via `lax.cond` — whether the chunk's 6 rank-8 contractions run at
-    all. Dead lanes (live == 0) can never extend a chunk's reach, so a
-    fully-terminated tile skips every chunk.
+    """Culled selection kernel: per (ray tile × triangle chunk), a
+    cheap VPU slab test against the chunk's AABB decides — as ONE scalar
+    predicate via `lax.cond` — whether the chunk's 6 rank-8 contractions
+    run at all. Dead lanes (live == 0) can never extend a chunk's reach,
+    so a fully-terminated tile skips every chunk.
 
-    Same outputs/contract and same incremental winner-(t, β, γ)
-    structure as `_nearest_shade_kernel` (VMEM stays O(chunk)).
+    Selection-only at DEFAULT matmul precision, like
+    `_nearest_idx_kernel` — exact values come from the shared
+    `_refine_winner_soa` outside.
     """
     rays = rays_ref[:]  # (8, Rt)
     live = live_ref[0, :] > 0.0  # (Rt,)
@@ -508,19 +516,16 @@ def _nearest_shade_culled_kernel(
             tf = jnp.minimum(tf, tfk)
         return (tn <= tf) & (tf >= 0.0) & (tn < tmax) & live
 
-    # ---- pass 1: nearest hit + winner β/γ, with chunk culling ------------------
     carry = (
         jnp.full((Rt,), _BIG, jnp.float32),
         jnp.full((Rt,), 2**31 - 1, jnp.int32),
-        jnp.zeros((Rt,), jnp.float32),
-        jnp.zeros((Rt,), jnp.float32),
     )
     for ci in range(n_chunks):
         sl = pl.ds(ci * t_chunk, t_chunk)
         reach = box_reach(ci, carry[0])
 
         def run_chunk(c, ci=ci, sl=sl, reach=reach):
-            bt, bi, bb, bg = c
+            bt, bi = c
             opx, opy, opz = comp(0, sl), comp(1, sl), comp(2, sl)
             dpx, dpy, dpz = comp(3, sl), comp(4, sl), comp(5, sl)
             dz_ok = jnp.abs(dpz) > 1e-12
@@ -543,46 +548,16 @@ def _nearest_shade_culled_kernel(
                 jnp.where(winner, col + ci * t_chunk, jnp.int32(2**31 - 1)),
                 axis=0,
             )
-            first = (col + ci * t_chunk == c_idx[None, :]) & winner
-            sel = first.astype(jnp.float32)
-            c_beta = jnp.sum(sel * beta, axis=0)
-            c_gamma = jnp.sum(sel * gamma, axis=0)
             better = c_min < bt
             return (
                 jnp.where(better, c_min, bt),
                 jnp.where(better, c_idx, bi),
-                jnp.where(better, c_beta, bb),
-                jnp.where(better, c_gamma, bg),
             )
 
         carry = jax.lax.cond(jnp.any(reach), run_chunk, lambda c: c, carry)
 
-    best_t, best_i, beta_sel, gamma_sel = carry
-    hit = best_t < _BIG
-
-    # ---- pass 2: winner one-hot × shading table (only winner chunks) ----------
-    shade = jnp.zeros((table_ref.shape[1], Rt), jnp.float32)
-    for ci in range(n_chunks):
-        sl = pl.ds(ci * t_chunk, t_chunk)
-        in_chunk = hit & (best_i >= ci * t_chunk) & (best_i < (ci + 1) * t_chunk)
-
-        def run_shade(sh, ci=ci, sl=sl):
-            onehot = (col + ci * t_chunk == best_i[None, :]).astype(jnp.float32)
-            return sh + jax.lax.dot_general(
-                table_ref[sl, :],
-                onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        shade = jax.lax.cond(jnp.any(in_chunk), run_shade, lambda s: s, shade)
-
-    idx_ref[0, :] = jnp.where(hit, best_i, jnp.int32(-1))
-    tbg_ref[0, :] = jnp.where(hit, best_t, _BIG)
-    tbg_ref[1, :] = beta_sel
-    tbg_ref[2, :] = gamma_sel
-    tbg_ref[3, :] = hit.astype(jnp.float32)
-    shade_ref[:, :] = shade
+    best_t, best_i = carry
+    idx_ref[0, :] = jnp.where(best_t < _BIG, best_i, jnp.int32(-1))
 
 
 @functools.partial(
@@ -620,40 +595,27 @@ def nearest_shade_culled(
         )
     Rp = R + pad
 
-    rays = jnp.concatenate(
-        [
-            pos3,
-            jnp.ones((1, Rp), pos3.dtype),
-            dir3,
-            jnp.zeros((1, Rp), dir3.dtype),
-        ],
-        axis=0,
-    )  # (8, Rp)
+    rays = _soa_rays(pos3, dir3, Rp)
 
-    idx, tbg, shade = pl.pallas_call(
+    idx = pl.pallas_call(
         functools.partial(_nearest_shade_culled_kernel, t_chunk=t_chunk),
         grid=(Rp // ray_tile,),
         in_specs=[
             pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # clo (scalar reads)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chi
         ],
-        out_specs=(
-            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-            jax.ShapeDtypeStruct((4, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((32, Rp), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
         interpret=interpret,
-    )(rays, live_f, w, table, clo, chi)
-    return idx[0, :R], tbg[:, :R], shade[:, :R]
+    )(rays, live_f, w, clo, chi)
+    idx = idx[0, :R]
+    tbg, shade = _refine_winner_soa(w, table, idx, rays[:, :R])
+    return idx, tbg, shade
 
 
 def refine_hit(
@@ -673,8 +635,9 @@ def refine_hit(
     tid = jnp.maximum(tri_id, 0)
     mw = m[tid]  # (R, 3, 3)
     ma = m_a[tid]  # (R, 3)
-    o_p = jnp.einsum("rij,rj->ri", mw, origins) - ma
-    d_p = jnp.einsum("rij,rj->ri", mw, dirs)
+    hp = jax.lax.Precision.HIGHEST
+    o_p = jnp.einsum("rij,rj->ri", mw, origins, precision=hp) - ma
+    d_p = jnp.einsum("rij,rj->ri", mw, dirs, precision=hp)
     dz = d_p[:, 2]
     safe = jnp.abs(dz) > 1e-12
     t = jnp.where(safe, -o_p[:, 2] / jnp.where(safe, dz, 1.0), jnp.inf)

@@ -98,8 +98,9 @@ def intersect_kdtree(
             tid = jnp.maximum(tid, 0)
             mw = m_rows[tid].reshape(R, 3, 3)
             ma = m_a[tid]
-            o_p = jnp.einsum("rij,rj->ri", mw, origins) - ma
-            d_p = jnp.einsum("rij,rj->ri", mw, dirs)
+            hp = jax.lax.Precision.HIGHEST
+            o_p = jnp.einsum("rij,rj->ri", mw, origins, precision=hp) - ma
+            d_p = jnp.einsum("rij,rj->ri", mw, dirs, precision=hp)
             dz = d_p[:, 2]
             safe = jnp.abs(dz) > 1e-12
             t = jnp.where(safe, -o_p[:, 2] / jnp.where(safe, dz, 1.0), -1.0)
