@@ -31,9 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--scene",
         default="1",
-        help="1/2/3 = reference scene (read-only mount), 'cornell' = "
-        "procedural box, 'cornell-full' = procedural box with mirror + "
-        "glass spheres, or a path to an .obj file",
+        help="1/2/3 = reference scene (read-only mount), 'mcrt' = the "
+        "MCRT backend's scene01 variant (per-triangle materials, π/4 "
+        "camera), 'cornell' = procedural box, 'cornell-full' = "
+        "procedural box with mirror + glass spheres, 'bunny' = large "
+        "procedural benchmark scene, or a path to an .obj file",
     )
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
@@ -44,7 +46,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=7)
     p.add_argument("--rr-depth", type=int, default=5)
     p.add_argument("--illum", type=float, default=10.0)
-    p.add_argument("--ray-chunk", type=int, default=30000)
+    p.add_argument(
+        "--ray-chunk",
+        type=int,
+        default=None,
+        help="rays per wavefront tile (default: whole frame for the "
+        "fused Pallas intersectors, 30000 for the lax paths, which "
+        "materialize a [rays, tris] intermediate)",
+    )
+    p.add_argument(
+        "--eye",
+        type=float,
+        nargs=3,
+        default=None,
+        metavar=("X", "Y", "Z"),
+        help="camera position (overrides the scene's hardcoded camera)",
+    )
+    p.add_argument(
+        "--lookat",
+        type=float,
+        nargs=3,
+        default=None,
+        metavar=("X", "Y", "Z"),
+        help="camera look-at point (requires --eye)",
+    )
+    p.add_argument(
+        "--up",
+        type=float,
+        nargs=3,
+        default=(0.0, 1.0, 0.0),
+        metavar=("X", "Y", "Z"),
+        help="camera up vector (with --eye/--lookat)",
+    )
+    p.add_argument(
+        "--fov",
+        type=float,
+        default=60.0,
+        help="horizontal FOV in degrees (with --eye)",
+    )
     p.add_argument(
         "--intersector",
         choices=["auto", "megakernel", "fused", "brute", "kdtree"],
@@ -76,6 +115,8 @@ def build_parser() -> argparse.ArgumentParser:
 def load_scene(name: str, width: int, height: int):
     if name in ("1", "2", "3"):
         return cornell.load_reference_scene(int(name), width=width, height=height)
+    if name == "mcrt":
+        return cornell.load_mcrt_scene(width=width, height=height)
     if name == "cornell":
         return cornell.cornell_box(width=width, height=height)
     if name == "cornell-full":
@@ -85,10 +126,24 @@ def load_scene(name: str, width: int, height: int):
             width=width,
             height=height,
         )
+    if name == "bunny":
+        from .models.bunny import bunny_scene
+
+        return bunny_scene(width=width, height=height)
     from .scene.scene import load_obj_scene
     from .scene.camera import camera_for_scene
 
     return load_obj_scene(name), camera_for_scene(1, width, height)
+
+
+def resolve_ray_chunk(requested, intersector: str) -> int:
+    """An explicit ``--ray-chunk`` always wins (including 30000, which an
+    earlier version silently overrode). Default: whole-frame wavefront
+    for the fused Pallas kernels (they never materialize [rays, tris]),
+    30000-ray tiles for the lax paths (which do)."""
+    if requested is not None:
+        return requested
+    return 0 if intersector in ("megakernel", "fused") else 30000
 
 
 def main(argv=None) -> int:
@@ -96,17 +151,33 @@ def main(argv=None) -> int:
 
     args = build_parser().parse_args(argv)
     scene, camera = load_scene(args.scene, args.width, args.height)
+    if args.eye is not None:
+        from .scene.camera import Camera
+        import numpy as np
+
+        lookat = (
+            args.lookat
+            if args.lookat is not None
+            else tuple(np.asarray(args.eye) + np.asarray((0.0, 0.0, -1.0)))
+        )
+        camera = Camera.look(
+            args.eye,
+            tuple(np.asarray(lookat) - np.asarray(args.eye)),
+            args.up,
+            width=args.width,
+            height=args.height,
+            fov_x_deg=args.fov,
+            jitter=camera.jitter,
+        )
+    elif args.lookat is not None:
+        raise SystemExit("--lookat requires --eye")
 
     intersector = args.intersector
     if intersector == "auto":
         intersector = (
             "megakernel" if jax.default_backend() == "tpu" else "brute"
         )
-    ray_chunk = args.ray_chunk
-    if intersector in ("megakernel", "fused"):
-        # The fused kernels never materialize [rays, tris]; trace the
-        # whole frame as one wavefront unless the user chunked it.
-        ray_chunk = 0 if args.ray_chunk == 30000 else args.ray_chunk
+    ray_chunk = resolve_ray_chunk(args.ray_chunk, intersector)
 
     accel = None
     if intersector == "kdtree":

@@ -189,9 +189,50 @@ def load_reference_scene(
     n: int, *, width: int = 800, height: int = 600
 ) -> Tuple[ScenePack, Camera]:
     """Load one of the reference's committed scenes (read-only mount)
-    with its hardcoded camera."""
+    with its hardcoded camera.
+
+    Scene 2 gets the eye-(0,5,23) camera (CUTracer.cu:361-374); scene 3
+    is not wired into the reference's `main.cpp` at all (only RENDER_1/2
+    exist, main.cpp:6-7) and its box is closed on all six sides, so
+    `camera_for_scene(3, ...)` places the camera inside the box.
+    """
     from ..scene.scene import load_obj_scene
 
     pack = load_obj_scene(reference_scene_path(n))
-    cam = camera_for_scene(1 if n == 1 else 2, width, height)
+    cam = camera_for_scene(n, width, height)
     return pack, cam
+
+
+MCRT_SCENE = "/root/reference/MCRT/QuinEngine/Res/scene01.obj"
+
+
+def has_mcrt_scene() -> bool:
+    return os.path.exists(MCRT_SCENE)
+
+
+def load_mcrt_scene(
+    *, width: int = 640, height: int = 480
+) -> Tuple[ScenePack, Camera]:
+    """Load the MCRT backend's scene variant + camera.
+
+    Same Cornell geometry as CVMCTracer scene01 but with MCRT's own
+    `Res/scene01.mtl` (light is Ka=0.80 with *no* Kd; mirror/glass have
+    no Kd either — diff vs the CVMCTracer mtl). MCRT parses it with
+    tinyobjloader and uses **per-triangle** materials
+    (ShaderResource.hpp:87-126), so ``material_mode="triangle"``.
+
+    Parser-quirk note: our OBJ reader applies the CVMCTracer
+    ``Ks ⇒ Ns=2`` quirk (ObjReader.cpp:225-233) which tinyobj doesn't
+    have; for this asset it is a no-op because the only Ks material
+    (sphere_mirror) sets Ns=1000 explicitly afterwards (verified by
+    `tests/test_models.py::test_mcrt_scene_variant`).
+
+    The matching render config is ``TraceConfig(mode="rr", illum=1.0)``
+    with the π/4 camera and gamma-space accumulation
+    (GraphicsRTX.cpp:173-197, rtx.hlsl:400-404).
+    """
+    from ..scene.scene import load_obj_scene
+    from ..scene.camera import camera_for_mcrt
+
+    pack = load_obj_scene(MCRT_SCENE, material_mode="triangle")
+    return pack, camera_for_mcrt(width, height)

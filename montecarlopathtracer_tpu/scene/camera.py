@@ -166,8 +166,18 @@ def camera_for_mcrt(width: int, height: int) -> Camera:
 def camera_for_scene(scene_id: int, width: int, height: int) -> Camera:
     """The reference's hardcoded per-scene cameras (CUTracer.cu:347-374):
     scene 1 eye=(0,5,17), scene 2 eye=(0,5,23), both looking −z, 60° FOV,
-    ±1 px jitter."""
-    eye = (0.0, 5.0, 17.0) if scene_id == 1 else (0.0, 5.0, 23.0)
+    ±1 px jitter.
+
+    Scene 3 has no reference camera (scene03 is never wired into
+    main.cpp, which only has RENDER_1/2) and, unlike scene01, its box is
+    *closed* on all six sides (wall6 spans z=+5), so a camera outside
+    the box sees black. We place it inside, near the +z wall:
+    eye=(0,5,4.8) looking −z.
+    """
+    if scene_id == 3:
+        eye = (0.0, 5.0, 4.8)
+    else:
+        eye = (0.0, 5.0, 17.0) if scene_id == 1 else (0.0, 5.0, 23.0)
     return Camera.look(
         eye,
         (0.0, 0.0, -1.0),

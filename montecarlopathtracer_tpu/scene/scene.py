@@ -180,6 +180,45 @@ def scene_pack_from_model(
     )
 
 
+def scene_pack_from_arrays(
+    vertices: np.ndarray,  # f32[V, 3]
+    normals: np.ndarray,  # f32[N, 3]
+    tri_v: np.ndarray,  # i32[T, 3]
+    tri_n: np.ndarray,  # i32[T, 3]
+    tri_mat: np.ndarray,  # i32[T]
+    materials: dict,  # {"Ka": [M,3], "Kd": [M,3], "Ks": [M,3],
+    #                    "Ns": [M], "Tr": [M], "Ni": [M]}
+    pad_to: int = LANE,
+) -> ScenePack:
+    """Assemble a :class:`ScenePack` directly from raw numpy arrays —
+    the fast path for procedurally generated meshes (no per-triangle
+    Python objects). Pads the triangle axis and fills ``tri_valid``."""
+    T = int(tri_v.shape[0])
+    Tp = max(_round_up(max(T, 1), pad_to), pad_to)
+    tv = np.zeros((Tp, 3), np.int32)
+    tn = np.zeros((Tp, 3), np.int32)
+    tm = np.zeros((Tp,), np.int32)
+    valid = np.zeros((Tp,), bool)
+    tv[:T] = tri_v
+    tn[:T] = tri_n
+    tm[:T] = tri_mat
+    valid[:T] = True
+    return ScenePack(
+        vertices=jnp.asarray(vertices, jnp.float32),
+        normals=jnp.asarray(normals, jnp.float32),
+        tri_v=jnp.asarray(tv),
+        tri_n=jnp.asarray(tn),
+        tri_mat=jnp.asarray(tm),
+        tri_valid=jnp.asarray(valid),
+        mat_ka=jnp.asarray(materials["Ka"], jnp.float32),
+        mat_kd=jnp.asarray(materials["Kd"], jnp.float32),
+        mat_ks=jnp.asarray(materials["Ks"], jnp.float32),
+        mat_ns=jnp.asarray(materials["Ns"], jnp.float32),
+        mat_tr=jnp.asarray(materials["Tr"], jnp.float32),
+        mat_ni=jnp.asarray(materials["Ni"], jnp.float32),
+    )
+
+
 def load_obj_scene(
     path: str,
     material_mode: str = "group",

@@ -33,6 +33,28 @@ def _soup(T, seed=0):
     return jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
 
 
+def _assert_disagreements_are_near_ties(hb, idx, m, m_a, o, d, rtol=1e-3):
+    """Any ray where the kernel picked a different triangle than the
+    oracle must be a genuine near-tie: the kernel winner's exact t is
+    within ``rtol`` of the oracle's t (VERDICT r1 weak #4 — a loose
+    '99% agree' hides wrong winners; this doesn't)."""
+    tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
+    agree = tb == tk
+    if agree.all():
+        return
+    # miss-status must always agree (a miss can't tie with a hit)
+    np.testing.assert_array_equal(tb < 0, tk < 0)
+    hk = refine_hit(m, m_a, o, d, idx)
+    t_b = np.asarray(hb.t)
+    t_k = np.asarray(hk.t)
+    bad = ~agree & (tb >= 0)
+    dt = np.abs(t_k[bad] - t_b[bad])
+    assert (dt <= rtol * np.maximum(t_b[bad], 1e-3)).all(), (
+        f"{bad.sum()} disagreements, worst |Δt|={dt.max():.2e} "
+        f"at t={t_b[bad][np.argmax(dt)]:.3f} — not a tie"
+    )
+
+
 def test_kernel_matches_brute_on_soup():
     T, R = 256, 300
     a, b, c = _soup(T, seed=4)
@@ -50,6 +72,7 @@ def test_kernel_matches_brute_on_soup():
     tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
     agree = tb == tk
     assert agree.mean() >= 0.99, f"only {agree.mean():.1%} agreement"
+    _assert_disagreements_are_near_ties(hb, idx, m, m_a, o, d)
 
 
 def test_kernel_respects_valid_mask_and_padding():
@@ -86,6 +109,7 @@ def test_intersect_fused_full_path_on_cornell():
     tb, tk = np.asarray(hb.tri_id), np.asarray(hf.tri_id)
     agree = tb == tk
     assert agree.mean() >= 0.995
+    _assert_disagreements_are_near_ties(hb, hf.tri_id, m, m_a, o, d)
     mask = agree & (tb >= 0)
     np.testing.assert_allclose(
         np.asarray(hb.t)[mask], np.asarray(hf.t)[mask], rtol=1e-4
@@ -141,6 +165,7 @@ def test_nearest_shade_megakernel_matches_gather_path():
     tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
     agree = tb == tk
     assert agree.mean() >= 0.995
+    _assert_disagreements_are_near_ties(hb, idx, m, m_a, o, d)
     mask = agree & (tb >= 0)
     np.testing.assert_allclose(
         np.asarray(hb.t)[mask], np.asarray(tbg[0])[mask], rtol=1e-4
