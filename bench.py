@@ -99,16 +99,67 @@ def main():
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_800x600_depth7_brute_samples_throughput",
-                "value": round(msamples_s, 3),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 3),
-            }
+    # ---- fwd+bwd (the BASELINE north-star metric: grad throughput) ----
+    # jax.grad of the pixel L2 loss through the differentiable (fused-
+    # kernel) intersector; path-replay via jax.checkpoint. Params =
+    # {Kd, Ka, vertices} (the BASELINE inverse-rendering configs 4-5).
+    fwdbwd_msamples_s = None
+    if os.environ.get("BENCH_GRAD", "1") != "0":
+        import jax.numpy as jnp
+
+        from montecarlopathtracer_tpu.diff.grad import (
+            make_loss_fn,
+            split_params,
         )
-    )
+
+        gspp = int(os.environ.get("BENCH_GRAD_SPP", 2))
+        gcfg = TraceConfig(
+            mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
+            intersector="fused",
+        )
+        target = jnp.zeros((height, width, 3), jnp.float32)
+        loss_fn = make_loss_fn(
+            scene, camera, target,
+            width=width, height=height, spp=gspp, config=gcfg,
+        )
+        params = split_params(scene, ("mat_kd", "mat_ka", "vertices"))
+        import jax as _jax
+
+        vg = _jax.jit(_jax.value_and_grad(loss_fn))
+        t0 = time.perf_counter()
+        loss, grads = vg(params, _jax.random.key(7))
+        _jax.block_until_ready(grads)
+        print(
+            f"grad compile+first step: {time.perf_counter() - t0:.1f}s "
+            f"(loss {float(loss):.4f})",
+            file=sys.stderr,
+        )
+        iters = int(os.environ.get("BENCH_GRAD_ITERS", 3))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            loss, grads = vg(params, _jax.random.key(8 + i))
+        _jax.block_until_ready(grads)
+        gdt = time.perf_counter() - t0
+        gsamples = width * height * gspp * iters
+        fwdbwd_msamples_s = gsamples / gdt / 1e6
+        print(
+            f"fwd+bwd: {gdt:.2f}s for {gsamples} samples → "
+            f"{fwdbwd_msamples_s:.2f} Msamples/s "
+            f"({fwdbwd_msamples_s * 8:.1f} Mray-segments/s fwd+bwd)",
+            file=sys.stderr,
+        )
+
+    record = {
+        "metric": "cornell_800x600_depth7_brute_samples_throughput",
+        "value": round(msamples_s, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 3),
+        "fwd_msamples_s": round(msamples_s, 3),
+    }
+    if fwdbwd_msamples_s is not None:
+        record["fwdbwd_msamples_s"] = round(fwdbwd_msamples_s, 3)
+        record["fwdbwd_mray_segments_s"] = round(fwdbwd_msamples_s * 8, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -86,6 +86,14 @@ class TraceConfig:
     ray_chunk: int = 8192  # rays per wavefront tile (bounds the [R, T]
     # intersection intermediate; 0 = whole frame in one wavefront)
     intersector: str = "brute"  # "megakernel" | "fused" | "brute" | "kdtree"
+    kernel_precision: str = "highest"  # in-kernel matmul precision for
+    # the Pallas selection kernels: "default" = single-pass bf16;
+    # "high"/"highest" = 3-pass split-bf16 (≈f32 accuracy — Mosaic has
+    # no native HIGH/HIGHEST dot_general). The on-TPU gate
+    # (tools/tpu_check.py) showed single-pass bf16 flips the β/γ accept
+    # tests in a band near triangle edges — ~2% of rays get a *wrong*
+    # winner (t off by orders of magnitude), not a near-tie — so the
+    # default is exact.
     chunk_cull: bool = False  # megakernel: Morton-order triangles and
     # skip whole chunks whose AABB no live ray can reach (scalar
     # lax.cond per ray-tile x chunk -- no per-lane divergence).
@@ -159,6 +167,11 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             _T_CHUNK_CULLED,
         )
 
+        # "default" = single-pass bf16 (fast, unsafe near edges);
+        # "high"/"highest" = 3-pass split-bf16 (≈f32; Mosaic has no
+        # native HIGH/HIGHEST dot_general lowering).
+        exact = config.kernel_precision != "default"
+
         if config.chunk_cull:
             # Spatially reorder the triangle axis so fixed chunks have
             # tight AABBs; all kernel-side data uses the same order, so
@@ -189,11 +202,13 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                     w_packed, table, clo, chi, pos3, dir3, live,
                     t_chunk=cull_chunk,
                     interpret=config.pallas_interpret,
+                    exact=exact,
                 )
             else:
                 idx, tbg, shade = nearest_shade(
                     w_packed, table, pos3, dir3,
                     interpret=config.pallas_interpret,
+                    exact=exact,
                 )
             hitf = tbg[3]
             t = tbg[0]

@@ -192,6 +192,63 @@ def test_nearest_shade_megakernel_matches_gather_path():
         assert np.abs(np.asarray(shade).T[miss]).max() == 0.0
 
 
+def test_nearest_shade2_matches_brute():
+    """v2 megakernel (fused chunk-major matmul + division-free accept
+    chain): winner, exact t/β/γ and shading row vs the oracle."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms_fused,
+        pack_geom_rows,
+        pack_shading_table,
+        nearest_shade2,
+        _divisor_chunk,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=16, height=16
+    )
+    av, bv, cv = scene.triangle_vertices()
+    m, m_a = _transforms(av, bv, cv)
+    tc = _divisor_chunk(av.shape[0], 128)
+    wf = pack_transforms_fused(m, m_a, scene.tri_valid, tc)
+    geom = pack_geom_rows(m, m_a)
+    table = pack_shading_table(scene)
+
+    R = 256
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 16, pix // 16, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 16, 16
+    )
+    hb = _brute(m, m_a, scene.tri_valid, o, d)
+    idx, tbg, shade = nearest_shade2(
+        wf, geom, table, o.T, d.T, ray_tile=128, t_chunk=tc, interpret=True
+    )
+    tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
+    agree = tb == tk
+    assert agree.mean() >= 0.995
+    _assert_disagreements_are_near_ties(hb, idx, m, m_a, o, d)
+    mask = agree & (tb >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[mask], np.asarray(tbg[0])[mask], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.beta)[mask], np.asarray(tbg[1])[mask], atol=1e-4
+    )
+    # shading row spot check (Kd of the winning triangle's material)
+    tid = np.maximum(tb, 0)
+    mid = np.asarray(scene.tri_mat)[tid]
+    np.testing.assert_allclose(
+        np.asarray(shade[12:15]).T[mask],
+        np.asarray(scene.mat_kd)[mid][mask],
+        atol=1e-6,
+    )
+    # multi-chunk path: rebuild with a smaller chunk and re-check winners
+    wf2 = pack_transforms_fused(m, m_a, scene.tri_valid, 128)
+    idx2, _, _ = nearest_shade2(
+        wf2, geom, table, o.T, d.T, ray_tile=128, t_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+
+
 def test_nearest_shade_culled_matches_uncullled_and_masks_dead_lanes():
     """Chunk culling must not change any result (boxes only affect
     which chunks run); dead lanes must come back as misses."""

@@ -1,0 +1,146 @@
+"""Multi-scene / multi-intersector benchmark sweep (run on TPU).
+
+Covers VERDICT r1 items 1, 5 and 7: scene-2 and glossy throughput
+(reference anchors: scene1 ≈2.4, scene2 ≈1.4 Msamples/s on a GTX 1070),
+chunk-cull on/off on closed vs open vs large scenes, and the
+acceleration-structure requirement — the culled kernel must *beat* the
+brute megakernel on the ~82k-triangle bunny scene.
+
+Writes BENCH_SCENES.json at the repo root; one JSON line per config on
+stdout. Keep each config's pass budget small — the sweep compiles ~10
+XLA programs.
+
+Usage: python tools/bench_suite.py [--quick] [--only SUBSTR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_config(name, scene, cam, config, width, height, spp, passes, accel=None):
+    from montecarlopathtracer_tpu.render.renderer import (
+        Renderer,
+        RenderSettings,
+    )
+
+    settings = RenderSettings(
+        width=width, height=height, spp_per_pass=spp, seed=0
+    )
+    r = Renderer(scene, cam, config, settings, accel=accel)
+    t0 = time.perf_counter()
+    r.render(1)  # compile + warmup
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r.render(passes)
+    dt = time.perf_counter() - t0
+    msamples_s = width * height * spp * passes / dt / 1e6
+    rec = {
+        "config": name,
+        "tris": int(scene.num_triangles),
+        "res": f"{width}x{height}",
+        "spp_x_passes": f"{spp}x{passes}",
+        "compile_s": round(compile_s, 1),
+        "msamples_s": round(msamples_s, 3),
+        "mray_segments_s": round(msamples_s * config.num_segments, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--kdtree", action="store_true",
+                    help="include the lax KD-traversal oracle (slow)")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from montecarlopathtracer_tpu.models import cornell, glossy
+    from montecarlopathtracer_tpu.models.bunny import bunny_scene
+    from montecarlopathtracer_tpu.render.integrator import TraceConfig
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    def mk(intersector="megakernel", cull=False):
+        return TraceConfig(
+            mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
+            intersector=intersector, chunk_cull=cull,
+        )
+
+    if cornell.has_reference_scenes():
+        s1, c1 = cornell.load_reference_scene(1, width=800, height=600)
+        s2, c2 = cornell.load_reference_scene(2, width=800, height=600)
+    else:
+        s1, c1 = cornell.cornell_box(
+            with_mirror_sphere=True, with_glass_sphere=True,
+            width=800, height=600,
+        )
+        s2, c2 = s1, c1
+    sg, cg = glossy.glossy_steps(width=800, height=600)
+    sb, cb = bunny_scene(subdiv=6, width=1024, height=1024)
+
+    spp, passes = (2, 2) if args.quick else (4, 4)
+    bunny_spp, bunny_passes = (1, 1) if args.quick else (1, 4)
+
+    plan = [
+        ("scene1_megakernel", s1, c1, mk(), 800, 600, spp, passes, None),
+        ("scene1_cull", s1, c1, mk(cull=True), 800, 600, spp, passes, None),
+        ("scene2_megakernel", s2, c2, mk(), 800, 600, spp, passes, None),
+        ("scene2_cull", s2, c2, mk(cull=True), 800, 600, spp, passes, None),
+        ("glossy_megakernel", sg, cg, mk(), 800, 600, spp, passes, None),
+        ("glossy_cull", sg, cg, mk(cull=True), 800, 600, spp, passes, None),
+        ("bunny_megakernel", sb, cb, mk(), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_cull", sb, cb, mk(cull=True), 1024, 1024, bunny_spp, bunny_passes, None),
+    ]
+    if args.kdtree:
+        from montecarlopathtracer_tpu.accel.kdtree import build_flat_kdtree
+        from montecarlopathtracer_tpu.ops.traverse import KDArrays
+
+        a, b, c = s1.triangle_vertices()
+        flat = build_flat_kdtree(
+            np.asarray(a), np.asarray(b), np.asarray(c),
+            np.asarray(s1.tri_valid),
+        )
+        kd1 = KDArrays.from_flat(flat)
+        plan.append(
+            ("scene1_kdtree_lax", s1, c1, mk("kdtree"), 256, 192, 1, 1, kd1)
+        )
+
+    results = []
+    for row in plan:
+        if args.only and args.only not in row[0]:
+            continue
+        try:
+            results.append(run_config(*row))
+        except Exception as e:  # keep sweeping; record the failure
+            print(json.dumps({"config": row[0], "error": str(e)[:200]}),
+                  flush=True)
+            results.append({"config": row[0], "error": str(e)[:200]})
+
+    out = {
+        "backend": jax.default_backend(),
+        "reference_anchor": {
+            "scene1_gtx1070_msamples_s": 2.4,
+            "scene2_gtx1070_msamples_s": 1.4,
+        },
+        "results": results,
+    }
+    with open(os.path.join(ROOT, "BENCH_SCENES.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
