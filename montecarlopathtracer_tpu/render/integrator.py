@@ -94,6 +94,9 @@ class TraceConfig:
     # tests in a band near triangle edges — ~2% of rays get a *wrong*
     # winner (t off by orders of magnitude), not a near-tie — so the
     # default is exact.
+    stream_chunk: int = 0  # triangles per streamed-kernel chunk
+    # (0 = auto: 256, or 128 when chunk_cull — finer chunks cull
+    # better). The streamed kernel pads the triangle axis internally.
     chunk_cull: bool = False  # megakernel: Morton-order triangles and
     # skip whole chunks whose AABB no live ray can reach (scalar
     # lax.cond per ray-tile x chunk -- no per-lane divergence).
@@ -158,19 +161,20 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
 
     if config.intersector == "megakernel":
         from ..ops.intersect_pallas import (
-            pack_transforms,
-            pack_shading_table,
-            nearest_shade,
-            nearest_shade_culled,
+            pack_transforms_stream,
+            pack_rows_full,
+            nearest_shade_full,
             morton_order,
-            chunk_aabbs,
-            _T_CHUNK_CULLED,
+            chunk_aabbs_padded,
         )
 
         # "default" = single-pass bf16 (fast, unsafe near edges);
         # "high"/"highest" = 3-pass split-bf16 (≈f32; Mosaic has no
         # native HIGH/HIGHEST dot_general lowering).
         exact = config.kernel_precision != "default"
+        # Streamed-kernel chunk: finer chunks cull better (tighter
+        # Morton AABBs), coarser ones amortize per-chunk overhead.
+        sc = config.stream_chunk or (128 if config.chunk_cull else 256)
 
         if config.chunk_cull:
             # Spatially reorder the triangle axis so fixed chunks have
@@ -178,38 +182,28 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             # the permutation never needs inverting (returned indices
             # are only compared with -1 for miss detection).
             perm = morton_order(a, b, c, scene.tri_valid)
-            w_packed = pack_transforms(m[perm], m_a[perm], scene.tri_valid[perm])
-            table = pack_shading_table(scene)[perm]
-            # Largest culling granularity that divides the (128-padded)
-            # triangle count.
-            T_pack = a.shape[0]
-            cull_chunk = min(_T_CHUNK_CULLED, T_pack)
-            while T_pack % cull_chunk:
-                cull_chunk -= 128
-            cull_chunk = max(cull_chunk, 128)
-            clo, chi = chunk_aabbs(
-                a, b, c, scene.tri_valid, perm, cull_chunk
+            ws = pack_transforms_stream(
+                m[perm], m_a[perm], scene.tri_valid[perm], sc
+            )
+            rows = pack_rows_full(m[perm], m_a[perm], scene, sc, perm=perm)
+            clo, chi = chunk_aabbs_padded(
+                a, b, c, scene.tri_valid, perm, sc
             )
         else:
-            w_packed = pack_transforms(m, m_a, scene.tri_valid)
-            table = pack_shading_table(scene)
+            ws = pack_transforms_stream(m, m_a, scene.tri_valid, sc)
+            rows = pack_rows_full(m, m_a, scene, sc)
+            clo = chi = None
 
         def intersect_shade(pos3, dir3, live=None):
             if live is None:
                 live = jnp.ones((pos3.shape[1],), bool)
-            if config.chunk_cull:
-                idx, tbg, shade = nearest_shade_culled(
-                    w_packed, table, clo, chi, pos3, dir3, live,
-                    t_chunk=cull_chunk,
-                    interpret=config.pallas_interpret,
-                    exact=exact,
-                )
-            else:
-                idx, tbg, shade = nearest_shade(
-                    w_packed, table, pos3, dir3,
-                    interpret=config.pallas_interpret,
-                    exact=exact,
-                )
+            idx, tbg, shade = nearest_shade_full(
+                ws, rows, pos3, dir3, live, clo, chi,
+                t_chunk=sc,
+                cull=config.chunk_cull,
+                interpret=config.pallas_interpret,
+                exact=exact,
+            )
             hitf = tbg[3]
             t = tbg[0]
             point = pos3 + (t * hitf)[None, :] * dir3

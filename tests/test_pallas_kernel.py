@@ -299,6 +299,166 @@ def test_nearest_shade_culled_matches_uncullled_and_masks_dead_lanes():
     assert (np.asarray(tbg_c)[3][~lv] == 0.0).all()
 
 
+def test_nearest_shade_streamed_matches_brute_and_culls_safely():
+    """Streamed (v3) kernel: winner/t/β/γ/shading row vs the oracle,
+    non-divisor triangle padding (procedural Cornell T=768 with chunk
+    512 → pad to 1024), and cull-on == cull-off for live lanes."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms_stream,
+        pack_geom_rows,
+        pack_shading_table,
+        nearest_shade_streamed,
+        morton_order,
+        chunk_aabbs_padded,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=16, height=16
+    )
+    av, bv, cv = scene.triangle_vertices()
+    m, m_a = _transforms(av, bv, cv)
+    assert av.shape[0] % 512 != 0  # the padding path must be exercised
+
+    ws = pack_transforms_stream(m, m_a, scene.tri_valid, 512)
+    geom = pack_geom_rows(m, m_a)
+    table = pack_shading_table(scene)
+
+    R = 256
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 16, pix // 16, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 16, 16
+    )
+    hb = _brute(m, m_a, scene.tri_valid, o, d)
+    idx, tbg, shade = nearest_shade_streamed(
+        ws, geom, table, o.T, d.T, ray_tile=128, t_chunk=512, interpret=True
+    )
+    tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
+    agree = tb == tk
+    assert agree.mean() >= 0.995
+    _assert_disagreements_are_near_ties(hb, idx, m, m_a, o, d)
+    mask = agree & (tb >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[mask], np.asarray(tbg[0])[mask], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.beta)[mask], np.asarray(tbg[1])[mask], atol=1e-4
+    )
+    tid = np.maximum(tb, 0)
+    mid = np.asarray(scene.tri_mat)[tid]
+    np.testing.assert_allclose(
+        np.asarray(shade[12:15]).T[mask],
+        np.asarray(scene.mat_kd)[mid][mask],
+        atol=1e-6,
+    )
+
+    # culled variant on the Morton-permuted axis: identical winners for
+    # live lanes (boxes only decide which chunks run, never results)
+    perm = morton_order(av, bv, cv, scene.tri_valid)
+    ws_p = pack_transforms_stream(m[perm], m_a[perm], scene.tri_valid[perm], 128)
+    geom_p = pack_geom_rows(m[perm], m_a[perm])
+    table_p = pack_shading_table(scene)[perm]
+    clo, chi = chunk_aabbs_padded(av, bv, cv, scene.tri_valid, perm, 128)
+    live = jnp.arange(R) % 3 != 0
+    idx_c, tbg_c, _ = nearest_shade_streamed(
+        ws_p, geom_p, table_p, o.T, d.T, live, clo, chi,
+        ray_tile=128, t_chunk=128, cull=True, interpret=True,
+    )
+    lv = np.asarray(live)
+    idx_cg = np.where(
+        np.asarray(idx_c) >= 0,
+        np.asarray(perm)[np.maximum(np.asarray(idx_c), 0)],
+        -1,
+    )
+    np.testing.assert_array_equal(idx_cg[lv], tb[lv])
+    np.testing.assert_allclose(
+        np.asarray(tbg_c)[0][lv & (tb >= 0)],
+        np.asarray(hb.t)[lv & (tb >= 0)],
+        rtol=1e-4,
+    )
+
+
+def test_nearest_shade_full_v4_matches_brute_exactly():
+    """v4 self-contained megakernel: winner, in-kernel t/β/γ, and the
+    one-hot-matmul shading row must match the oracle + gather path —
+    the shading row bit-exactly (3-term bf16 split reconstruction)."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms_stream,
+        pack_rows_full,
+        nearest_shade_full,
+        morton_order,
+        chunk_aabbs_padded,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=16, height=16
+    )
+    av, bv, cv = scene.triangle_vertices()
+    m, m_a = _transforms(av, bv, cv)
+    ws = pack_transforms_stream(m, m_a, scene.tri_valid, 512)  # pads 768→1024
+    rows = pack_rows_full(m, m_a, scene, 512)
+
+    R = 256
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 16, pix // 16, jnp.full((R,), 0.137), jnp.full((R,), 0.271), 16, 16
+    )
+    hb = _brute(m, m_a, scene.tri_valid, o, d)
+    idx, tbg, shade = nearest_shade_full(
+        ws, rows, o.T, d.T, ray_tile=128, t_chunk=512, interpret=True
+    )
+    tb, tk = np.asarray(hb.tri_id), np.asarray(idx)
+    agree = tb == tk
+    assert agree.mean() >= 0.995
+    _assert_disagreements_are_near_ties(hb, idx, m, m_a, o, d)
+    mask = agree & (tb >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hb.t)[mask], np.asarray(tbg[0])[mask], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.beta)[mask], np.asarray(tbg[1])[mask], atol=1e-4
+    )
+    # shading row: exact (one-hot × 3-term split reconstructs f32)
+    tid = np.maximum(tb, 0)
+    mid = np.asarray(scene.tri_mat)[tid]
+    np.testing.assert_allclose(
+        np.asarray(shade[12:15]).T[mask],
+        np.asarray(scene.mat_kd)[mid][mask],
+        atol=1e-6,
+    )
+    n0 = np.asarray(scene.normals)[np.asarray(scene.tri_n)[tid, 0]]
+    np.testing.assert_allclose(
+        np.asarray(shade[0:3]).T[mask], n0[mask], atol=1e-6
+    )
+    # misses: all-zero shading row, hit flag 0, t = +BIG sentinel
+    if (tb < 0).any():
+        miss = tb < 0
+        assert np.asarray(tbg[3])[miss].max() == 0.0
+        assert np.abs(np.asarray(shade).T[miss]).max() == 0.0
+
+    # culled variant on the Morton axis agrees for live lanes
+    perm = morton_order(av, bv, cv, scene.tri_valid)
+    ws_p = pack_transforms_stream(m[perm], m_a[perm], scene.tri_valid[perm], 128)
+    rows_p = pack_rows_full(m[perm], m_a[perm], scene, 128, perm=perm)
+    clo, chi = chunk_aabbs_padded(av, bv, cv, scene.tri_valid, perm, 128)
+    live = jnp.arange(R) % 3 != 0
+    idx_c, tbg_c, shade_c = nearest_shade_full(
+        ws_p, rows_p, o.T, d.T, live, clo, chi,
+        ray_tile=128, t_chunk=128, cull=True, interpret=True,
+    )
+    lv = np.asarray(live)
+    idx_cg = np.where(
+        np.asarray(idx_c) >= 0,
+        np.asarray(perm)[np.maximum(np.asarray(idx_c), 0)],
+        -1,
+    )
+    np.testing.assert_array_equal(idx_cg[lv], tb[lv])
+    np.testing.assert_allclose(
+        np.asarray(shade_c[12:15]).T[lv & mask],
+        np.asarray(scene.mat_kd)[mid][lv & mask],
+        atol=1e-6,
+    )
+
+
 def test_megakernel_trace_matches_brute_trace():
     """Full wavefront trace with intersector='megakernel' (interpret
     mode) must produce the same radiance as the brute path — identical

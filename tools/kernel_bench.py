@@ -72,10 +72,14 @@ if __name__ == "__main__":
     from montecarlopathtracer_tpu.ops.intersect_pallas import (
         pack_transforms,
         pack_transforms_fused,
+        pack_transforms_stream,
         pack_geom_rows,
         pack_shading_table,
         nearest_shade,
         nearest_shade2,
+        nearest_shade_streamed,
+        morton_order,
+        chunk_aabbs_padded,
         _divisor_chunk,
         _T_CHUNK,
     )
@@ -103,18 +107,52 @@ if __name__ == "__main__":
         o, d = _rays_for(scene, cam, R)
         jax.block_until_ready((w, wf, geom, table, o, d))
 
+        # streamed (v3) packings: several chunk sizes + a culled variant
+        ws_by_tc = {
+            stc: pack_transforms_stream(m, m_a, scene.tri_valid, stc)
+            for stc in (128, 256, 512)
+        }
+        perm = morton_order(a, b, c, scene.tri_valid)
+        ws_cull = pack_transforms_stream(
+            m[perm], m_a[perm], scene.tri_valid[perm], 128
+        )
+        geom_cull = pack_geom_rows(m[perm], m_a[perm])
+        table_cull = pack_shading_table(scene)[perm]
+        clo, chi = chunk_aabbs_padded(a, b, c, scene.tri_valid, perm, 128)
+        live = jnp.ones((R,), jnp.float32)
+        jax.block_until_ready((ws_by_tc, ws_cull, clo, chi))
+
         for pname, exact in MODES.items():
-            dt1 = bench_variant(
-                lambda: nearest_shade(w, table, o, d, exact=exact),
-                args.iters,
-            )
-            dt2 = bench_variant(
-                lambda: nearest_shade2(
-                    wf, geom, table, o, d, t_chunk=tc, exact=exact
+            variants = []
+            if T < 20_000:  # resident-w kernels: VMEM-capped
+                dt1 = bench_variant(
+                    lambda: nearest_shade(w, table, o, d, exact=exact),
+                    args.iters,
+                )
+                dt2 = bench_variant(
+                    lambda: nearest_shade2(
+                        wf, geom, table, o, d, t_chunk=tc, exact=exact
+                    ),
+                    args.iters,
+                )
+                variants += [("v1", dt1), ("v2", dt2)]
+            for stc, ws_s in ws_by_tc.items():
+                dt3 = bench_variant(
+                    lambda: nearest_shade_streamed(
+                        ws_s, geom, table, o, d, t_chunk=stc, exact=exact
+                    ),
+                    args.iters,
+                )
+                variants.append((f"v3_tc{stc}", dt3))
+            dt3c = bench_variant(
+                lambda: nearest_shade_streamed(
+                    ws_cull, geom_cull, table_cull, o, d, live, clo, chi,
+                    t_chunk=128, cull=True, exact=exact,
                 ),
                 args.iters,
             )
-            for v, dt in (("v1", dt1), ("v2", dt2)):
+            variants.append(("v3_cull_tc128", dt3c))
+            for v, dt in variants:
                 print(
                     json.dumps(
                         {

@@ -126,11 +126,17 @@ def run_checks(write_golden: str | None = None) -> int:
     )
     from montecarlopathtracer_tpu.ops.intersect_pallas import (
         pack_transforms,
+        pack_transforms_stream,
+        pack_geom_rows,
+        pack_rows_full,
         pack_shading_table,
         nearest_shade,
         nearest_shade_culled,
+        nearest_shade_streamed,
+        nearest_shade_full,
         morton_order,
         chunk_aabbs,
+        chunk_aabbs_padded,
         intersect_fused,
         refine_hit,
     )
@@ -167,6 +173,42 @@ def run_checks(write_golden: str | None = None) -> int:
     all_ok &= results["megakernel_values"]["ok"]
     print(f"  megakernel_values: {results['megakernel_values']}", file=sys.stderr)
 
+    # 1b. streamed (v3) megakernel — the integrator's current default
+    ws = pack_transforms_stream(m, m_a, scene.tri_valid, 256)
+    geom = pack_geom_rows(m, m_a)
+    idx_s, tbg_s, _ = nearest_shade_streamed(
+        ws, geom, table, o.T, d.T, t_chunk=256, exact=True
+    )
+    all_ok &= _near_tie_check("streamed", hb, idx_s, tbg_s[0], results)
+
+    # 1c. v4 self-contained megakernel (integrator default): winner +
+    # in-kernel t/β/γ + exact one-hot shading row (no XLA epilogue)
+    rows = pack_rows_full(m, m_a, scene, 256)
+    idx_f, tbg_f, shade_f = nearest_shade_full(
+        ws, rows, o.T, d.T, t_chunk=256, exact=True
+    )
+    all_ok &= _near_tie_check("mega_v4", hb, idx_f, tbg_f[0], results)
+    hitm = (np.asarray(hb.tri_id) == np.asarray(idx_f)) & (
+        np.asarray(hb.tri_id) >= 0
+    )
+    tid = np.maximum(np.asarray(hb.tri_id), 0)
+    import jax.numpy as _jnp  # noqa: F401
+
+    kd_ref = np.asarray(scene.mat_kd)[np.asarray(scene.tri_mat)[tid]]
+    kd_err = float(
+        np.abs(np.asarray(shade_f[12:15]).T[hitm] - kd_ref[hitm]).max()
+    )
+    bg_err_f = float(
+        np.abs(np.asarray(tbg_f[1]) - np.asarray(hb.beta))[hitm].max()
+    )
+    results["mega_v4_values"] = {
+        "max_kd_err": round(kd_err, 9),
+        "max_beta_err": round(bg_err_f, 9),
+        "ok": bool(kd_err < 1e-6 and bg_err_f < 1e-4),
+    }
+    all_ok &= results["mega_v4_values"]["ok"]
+    print(f"  mega_v4_values: {results['mega_v4_values']}", file=sys.stderr)
+
     # 2. fused
     hf = intersect_fused(m, m_a, scene.tri_valid, o, d)
     all_ok &= _near_tie_check("fused", hb, hf.tri_id, hf.t, results)
@@ -183,6 +225,19 @@ def run_checks(write_golden: str | None = None) -> int:
     # map permuted winner back to the original axis for comparison
     idx_cg = jnp.where(idx_c >= 0, perm[jnp.maximum(idx_c, 0)], -1)
     all_ok &= _near_tie_check("chunk_culled", hb, idx_cg, tbg_c[0], results)
+
+    # 3b. streamed + cull (the integrator's chunk_cull=True path)
+    ws_p = pack_transforms_stream(m[perm], m_a[perm], scene.tri_valid[perm], 128)
+    geom_p = pack_geom_rows(m[perm], m_a[perm])
+    clo_s, chi_s = chunk_aabbs_padded(a, b, c, scene.tri_valid, perm, 128)
+    idx_sc, tbg_sc, _ = nearest_shade_streamed(
+        ws_p, geom_p, tp, o.T, d.T, live, clo_s, chi_s,
+        t_chunk=128, cull=True, exact=True,
+    )
+    idx_scg = jnp.where(idx_sc >= 0, perm[jnp.maximum(idx_sc, 0)], -1)
+    all_ok &= _near_tie_check(
+        "streamed_culled", hb, idx_scg, tbg_sc[0], results
+    )
 
     # 4. KD traversal
     from montecarlopathtracer_tpu.accel.kdtree import build_flat_kdtree
