@@ -72,9 +72,18 @@ def main():
         file=sys.stderr,
     )
 
+    import numpy as np
+
+    def sync():
+        # Force device→host data movement: over the remote-TPU tunnel
+        # `block_until_ready` can return after dispatch, long before
+        # the device finishes — only a fetch is a reliable fence.
+        return float(np.asarray(r.film.color[0, 0, 0]))
+
     # Warmup (compile)
     t0 = time.perf_counter()
     r.render(1)
+    sync()
     print(f"warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     from montecarlopathtracer_tpu.utils.profiling import trace
@@ -85,6 +94,7 @@ def main():
     t0 = time.perf_counter()
     with trace(os.environ.get("BENCH_PROFILE_DIR")):
         r.render(passes)
+    sync()
     dt = time.perf_counter() - t0
     log.enabled = True
 
@@ -128,7 +138,7 @@ def main():
         vg = _jax.jit(_jax.value_and_grad(loss_fn))
         t0 = time.perf_counter()
         loss, grads = vg(params, _jax.random.key(7))
-        _jax.block_until_ready(grads)
+        float(loss)  # real fence: fetch, not block_until_ready
         print(
             f"grad compile+first step: {time.perf_counter() - t0:.1f}s "
             f"(loss {float(loss):.4f})",
@@ -138,7 +148,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(iters):
             loss, grads = vg(params, _jax.random.key(8 + i))
-        _jax.block_until_ready(grads)
+        float(loss)  # real fence: fetch, not block_until_ready
         gdt = time.perf_counter() - t0
         gsamples = width * height * gspp * iters
         fwdbwd_msamples_s = gsamples / gdt / 1e6

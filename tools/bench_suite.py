@@ -26,6 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _sync(film):
+    """Force device→host data movement: on the remote-TPU tunnel,
+    ``block_until_ready`` can return after dispatch, long before the
+    device finishes — only an actual fetch is a reliable fence (the
+    ~25 ms round trip is noise against multi-second render batches)."""
+    import numpy as np
+
+    return float(np.asarray(film.color[0, 0, 0]))
+
+
 def run_config(name, scene, cam, config, width, height, spp, passes, accel=None):
     from montecarlopathtracer_tpu.render.renderer import (
         Renderer,
@@ -38,9 +48,11 @@ def run_config(name, scene, cam, config, width, height, spp, passes, accel=None)
     r = Renderer(scene, cam, config, settings, accel=accel)
     t0 = time.perf_counter()
     r.render(1)  # compile + warmup
+    _sync(r.film)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     r.render(passes)
+    _sync(r.film)
     dt = time.perf_counter() - t0
     msamples_s = width * height * spp * passes / dt / 1e6
     rec = {
