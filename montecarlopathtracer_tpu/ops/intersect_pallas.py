@@ -1214,6 +1214,36 @@ def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def ray_sort_keys(
+    pos3: jnp.ndarray,  # f32[3, R]
+    dir3: jnp.ndarray,  # f32[3, R]
+    lo: jnp.ndarray,  # f32[3] scene AABB low
+    hi: jnp.ndarray,  # f32[3] scene AABB high
+) -> jnp.ndarray:
+    """u32 wavefront-coherence sort key: Morton code of the ray origin
+    (9 bits/axis within the scene AABB) with the direction octant in
+    the low 3 bits.
+
+    Sorting a bounce wavefront by this key makes fixed 512-ray kernel
+    tiles spatially/directionally coherent, so the chunk-cull slab test
+    (which is per tile × chunk) actually skips chunks — unsorted bounce
+    wavefronts have near-total union reach. Origin locality dominates
+    (tiles share reach), direction refines.
+    """
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((pos3 - lo[:, None]) / span[:, None], 0.0, 1.0)
+    qi = (q * 511.0).astype(jnp.uint32)  # 9 bits/axis
+    mx = _part1by2(qi[0] & jnp.uint32(0x1FF))
+    my = _part1by2(qi[1] & jnp.uint32(0x1FF))
+    mz = _part1by2(qi[2] & jnp.uint32(0x1FF))
+    octant = (
+        (dir3[0] > 0).astype(jnp.uint32)
+        | ((dir3[1] > 0).astype(jnp.uint32) << 1)
+        | ((dir3[2] > 0).astype(jnp.uint32) << 2)
+    )
+    return ((mx | (my << 1) | (mz << 2)) << 3) | octant
+
+
 def morton_order(
     a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, tri_valid: jnp.ndarray
 ) -> jnp.ndarray:

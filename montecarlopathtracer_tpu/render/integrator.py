@@ -97,13 +97,21 @@ class TraceConfig:
     stream_chunk: int = 0  # triangles per streamed-kernel chunk
     # (0 = auto: 256, or 128 when chunk_cull — finer chunks cull
     # better). The streamed kernel pads the triangle axis internally.
+    ray_sort: bool = False  # megakernel: re-sort the wavefront each
+    # segment by (origin Morton, direction octant) so kernel ray tiles
+    # stay coherent and chunk-cull keeps skipping chunks on bounce
+    # segments. Bit-exact vs unsorted: rays carry their original id and
+    # RNG draws are indexed by id, so every path sees identical
+    # numbers. Worth it with chunk_cull on large scenes; pure overhead
+    # (an argsort + state gathers per segment) on small closed ones.
     chunk_cull: bool = False  # megakernel: Morton-order triangles and
-    # skip whole chunks whose AABB no live ray can reach (scalar
-    # lax.cond per ray-tile x chunk -- no per-lane divergence).
-    # Measured: a LOSS on small closed scenes (Cornell: 3.3 vs 6.2
-    # Msamples/s -- every tile's rays reach every chunk and the cond/
-    # slab overhead is pure cost); a win only for larger or open
-    # scenes where tiles actually skip chunks. Off by default.
+    # skip whole chunks whose AABB no live ray can reach (pl.when per
+    # ray-tile x chunk -- no per-lane divergence). Measured on TPU
+    # (BENCH_SCENES.json, r2): a small LOSS on the closed Cornell
+    # (5.3 vs 5.8 Msamples/s -- every tile reaches every chunk), a
+    # 1.5x WIN everywhere else: scene2 5.4 vs 3.6, glossy 7.1 vs 4.9,
+    # 82k-tri bunny 0.155 vs 0.104. Off by default; turn on (with
+    # ray_sort) for anything bigger or more open than a Cornell box.
     pallas_interpret: bool = False  # interpreter mode for CPU tests
 
     @property
@@ -284,9 +292,30 @@ def trace_radiance_soa(
     intersect_shade = _make_intersect_shade(scene, config, accel)
     illum = jnp.float32(config.illum)
     n_seg = config.num_segments
+    use_sort = config.ray_sort and config.intersector == "megakernel"
+    if use_sort:
+        from ..ops.intersect_pallas import ray_sort_keys
+
+        aabb_lo, aabb_hi = scene.aabb()
 
     def segment(carry, seg_idx):
-        pos, dir_, tput, result, active = carry
+        pos, dir_, tput, result, active, rid = carry
+
+        if use_sort:
+            # Re-sort the wavefront for tile coherence (see
+            # TraceConfig.ray_sort). Paths are unchanged: rays keep
+            # their id and draw their OWN random streams below, so the
+            # estimator is bit-identical to the unsorted trace.
+            perm = jnp.argsort(ray_sort_keys(pos, dir_, aabb_lo, aabb_hi))
+            pos, dir_, tput, result = (
+                pos[:, perm], dir_[:, perm], tput[:, perm], result[:, perm]
+            )
+            active = active[perm]
+            rid = rid[perm]
+
+        def draw(sid):
+            u = stream_uniform(key, sid, (R,))
+            return u[rid] if use_sort else u
 
         s = intersect_shade(pos, dir_, active)
         miss = s["miss"]
@@ -298,7 +327,7 @@ def trace_radiance_soa(
             # Russian roulette once past rr_depth (rtx.hlsl:317-328).
             do_rr = (seg_idx >= config.rr_depth) & ~hard_kill
             p = jnp.max(tput, axis=0)
-            u_rr = stream_uniform(key, seg_idx * 4 + 3, (R,))
+            u_rr = draw(seg_idx * 4 + 3)
             survive = p > u_rr
             rr_dead = do_rr & ~survive
             tput = jnp.where(
@@ -328,8 +357,8 @@ def trace_radiance_soa(
 
         # --- scatter ---------------------------------------------------------
         normal = _interp_normal(s["n0"], s["n1"], s["n2"], s["beta"], s["gamma"])
-        u1 = stream_uniform(key, seg_idx * 4 + 0, (R,))
-        u2 = stream_uniform(key, seg_idx * 4 + 1, (R,))
+        u1 = draw(seg_idx * 4 + 0)
+        u2 = draw(seg_idx * 4 + 1)
 
         d_fresnel = sample_fresnel(u1, normal, dir_, s["tr"], s["ni"])
         d_phong = sample_phong(u1, u2, normal, dir_, s["ns"])
@@ -358,7 +387,7 @@ def trace_radiance_soa(
         )
         new_dir = jnp.where(still[None, :], new_dir, dir_)
 
-        return (new_pos, new_dir, new_tput, result, still), None
+        return (new_pos, new_dir, new_tput, result, still, rid), None
 
     init = (
         pos3,
@@ -366,10 +395,14 @@ def trace_radiance_soa(
         jnp.ones((3, R), jnp.float32),
         jnp.zeros((3, R), jnp.float32),
         jnp.ones((R,), bool),
+        jnp.arange(R, dtype=jnp.int32),
     )
-    (pos, dir_, tput, result, active), _ = jax.lax.scan(
+    (pos, dir_, tput, result, active, rid), _ = jax.lax.scan(
         jax.checkpoint(segment), init, jnp.arange(n_seg)
     )
+    if use_sort:
+        # Scatter back to original ray order (unique indices).
+        result = jnp.zeros_like(result).at[:, rid].set(result)
     return result
 
 

@@ -85,10 +85,10 @@ def main() -> int:
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
-    def mk(intersector="megakernel", cull=False):
+    def mk(intersector="megakernel", cull=False, sort=False):
         return TraceConfig(
             mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
-            intersector=intersector, chunk_cull=cull,
+            intersector=intersector, chunk_cull=cull, ray_sort=sort,
         )
 
     if cornell.has_reference_scenes():
@@ -115,6 +115,8 @@ def main() -> int:
         ("glossy_cull", sg, cg, mk(cull=True), 800, 600, spp, passes, None),
         ("bunny_megakernel", sb, cb, mk(), 1024, 1024, bunny_spp, bunny_passes, None),
         ("bunny_cull", sb, cb, mk(cull=True), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_cull_sort", sb, cb, mk(cull=True, sort=True), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("glossy_cull_sort", sg, cg, mk(cull=True, sort=True), 800, 600, spp, passes, None),
     ]
     if args.kdtree:
         from montecarlopathtracer_tpu.accel.kdtree import build_flat_kdtree
