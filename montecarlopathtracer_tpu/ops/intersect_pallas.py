@@ -1028,8 +1028,19 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool):
 
     @pl.when(run)
     def _():
+        # Transform chunk streams as compact f32 (8, 6·tc) and the
+        # exact K=48 split packing is built HERE, per chunk — 3× less
+        # HBM traffic than streaming pre-split bf16 (the binding
+        # constraint at bunny scale: cull skips compute, not DMA), for
+        # ~10 VPU ops on an (8, 6·tc) block.
+        ws_blk = ws_ref[:]
+        w_k = (
+            _split_cat(ws_blk, 0, "hhll")
+            if exact
+            else ws_blk.astype(jnp.bfloat16)
+        )
         p = jax.lax.dot_general(
-            ws_ref[:],  # (K, 6·tc)
+            w_k,  # (K, 6·tc)
             rk_ref[:],  # (K, Rt)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1059,16 +1070,21 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool):
         # the smallest index above, so exactly one true per better lane)
         win = (col == c_idx[None, :]) & better[None, :]
         # Winner-row fetch as ONE MXU contraction. Mosaic lowers f32
-        # dot_general to single-pass bf16 (no HIGHEST), so the row table
-        # arrives as a 3-term bf16 truncation split stacked along the
-        # contraction axis (terms=3); {0,1} one-hot entries are exact in
-        # bf16, so the sum h+l1+l2 reconstructs the row to ~6e-8.
-        terms = rows_ref.shape[0] // tc
+        # dot_general to single-pass bf16 (no HIGHEST), so the f32 row
+        # block is split in-kernel into a 3-term bf16 truncation stack
+        # along the contraction axis; {0,1} one-hot entries are exact
+        # in bf16, so the sum h+l1+l2 reconstructs the row to ~6e-8.
+        # (Streaming f32 + splitting here also halves the rows DMA.)
+        rows_blk = rows_ref[:]  # (tc, 48) f32
         onehot = win.astype(jnp.bfloat16)
-        if terms > 1:
-            onehot = jnp.concatenate([onehot] * terms, axis=0)
+        if exact:
+            h, l1, l2 = _bf16_split3(rows_blk)
+            rows_k = jnp.concatenate([h, l1, l2], axis=0)
+            onehot = jnp.concatenate([onehot] * 3, axis=0)
+        else:
+            rows_k = rows_blk.astype(jnp.bfloat16)
         row_c = jax.lax.dot_general(
-            rows_ref[:],  # (terms·tc, 48) bf16
+            rows_k,  # (terms·tc, 48) bf16
             onehot,  # (terms·tc, Rt)
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1136,35 +1152,19 @@ def nearest_shade_full(
         )
     Rp = R + pad
     rays = _soa_rays(pos3, dir3, Rp)
-    ws_k = _split_cat(ws, 0, "hhll") if exact else ws.astype(jnp.bfloat16)
-    K = ws_k.shape[0]
-
-    # Row table in bf16 for the MXU; when exact, chunk-interleaved
-    # 3-term split [h_c; l1_c; l2_c] (see kernel docstring).
-    if exact:
-        h, l1, l2 = _bf16_split3(rows)
-        rows_k = jnp.concatenate(
-            [
-                h.reshape(nc, t_chunk, 48),
-                l1.reshape(nc, t_chunk, 48),
-                l2.reshape(nc, t_chunk, 48),
-            ],
-            axis=1,
-        ).reshape(nc * 3 * t_chunk, 48)
-        terms = 3
-    else:
-        rows_k = rows.astype(jnp.bfloat16)
-        terms = 1
-
+    # ws and rows stream as compact f32; the kernel builds the exact
+    # bf16 split packings per chunk in VMEM (3× less ws DMA, 2× less
+    # rows DMA than streaming pre-split bf16 — the binding constraint
+    # for large streamed scenes).
     in_specs = [
         pl.BlockSpec((8, ray_tile), lambda i, c: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ray_tile), lambda i, c: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, 6 * t_chunk), lambda i, c: (0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 6 * t_chunk), lambda i, c: (0, c), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (terms * t_chunk, 48), lambda i, c: (c, 0), memory_space=pltpu.VMEM
+            (t_chunk, 48), lambda i, c: (c, 0), memory_space=pltpu.VMEM
         ),
     ]
-    args = [rays, live_f, ws_k, rows_k]
+    args = [rays, live_f, ws, rows]
     if cull:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))

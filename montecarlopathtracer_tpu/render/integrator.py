@@ -94,6 +94,11 @@ class TraceConfig:
     # tests in a band near triangle edges — ~2% of rays get a *wrong*
     # winner (t off by orders of magnitude), not a near-tie — so the
     # default is exact.
+    ray_tile: int = 0  # rays per megakernel grid tile (0 = default
+    # 512). Bigger tiles make FEWER passes over the streamed triangle
+    # data — total ws DMA per segment is (R/ray_tile)·sizeof(ws) — at
+    # the cost of more VMEM per step; 1024-2048 pays off at bunny
+    # scale where the stream is DMA-bound.
     stream_chunk: int = 0  # triangles per streamed-kernel chunk
     # (0 = auto: 256, or 128 when chunk_cull — finer chunks cull
     # better). The streamed kernel pads the triangle axis internally.
@@ -205,12 +210,16 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         def intersect_shade(pos3, dir3, live=None):
             if live is None:
                 live = jnp.ones((pos3.shape[1],), bool)
+            kw = {}
+            if config.ray_tile:
+                kw["ray_tile"] = config.ray_tile
             idx, tbg, shade = nearest_shade_full(
                 ws, rows, pos3, dir3, live, clo, chi,
                 t_chunk=sc,
                 cull=config.chunk_cull,
                 interpret=config.pallas_interpret,
                 exact=exact,
+                **kw,
             )
             hitf = tbg[3]
             t = tbg[0]

@@ -85,10 +85,11 @@ def main() -> int:
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
-    def mk(intersector="megakernel", cull=False, sort=False):
+    def mk(intersector="megakernel", cull=False, sort=False, rt=0):
         return TraceConfig(
             mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
             intersector=intersector, chunk_cull=cull, ray_sort=sort,
+            ray_tile=rt,
         )
 
     if cornell.has_reference_scenes():
@@ -116,6 +117,8 @@ def main() -> int:
         ("bunny_megakernel", sb, cb, mk(), 1024, 1024, bunny_spp, bunny_passes, None),
         ("bunny_cull", sb, cb, mk(cull=True), 1024, 1024, bunny_spp, bunny_passes, None),
         ("bunny_cull_sort", sb, cb, mk(cull=True, sort=True), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_cull_rt1024", sb, cb, mk(cull=True, rt=1024), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_cull_rt2048", sb, cb, mk(cull=True, rt=2048), 1024, 1024, bunny_spp, bunny_passes, None),
         ("glossy_cull_sort", sg, cg, mk(cull=True, sort=True), 800, 600, spp, passes, None),
     ]
     if args.kdtree:
