@@ -37,8 +37,16 @@ Material/lobe semantics shared by both (CUTracer.cu:112-160):
 Intersector backends (``config.intersector``):
 - ``"megakernel"`` — one Pallas call per segment returns hit + shading
   row (corner normals + material) via an in-VMEM one-hot matmul: zero
-  per-ray HBM gathers. Inference fast path (not differentiable w.r.t.
-  scene parameters).
+  per-ray HBM gathers. Differentiable via a custom_vjp whose backward
+  re-derives the winner's values with exact-f32 gathers
+  (`intersect_pallas.nearest_shade_full_diff`) — gathers exist only on
+  the gradient path.
+- ``"traverse"`` — the megakernel's outputs at tree-traversal cost:
+  per-ray-tile front-to-back chunk walk with manual double-buffered
+  DMA and best-t early exit (`ops.traverse_pallas`); the TPU-native
+  answer to the reference's KD traversal (rtx.hlsl:144-211). Use with
+  ``ray_sort`` on bounce-heavy workloads. Differentiable like the
+  megakernel.
 - ``"fused"`` — Pallas nearest-hit index + differentiable jnp
   recompute/gathers (gradient renders at near-kernel speed).
 - ``"brute"`` — pure lax oracle (CPU-friendly, differentiable).
@@ -85,7 +93,8 @@ class TraceConfig:
     t_chunk: int = 0  # triangle chunk for the brute intersector (0 = all)
     ray_chunk: int = 8192  # rays per wavefront tile (bounds the [R, T]
     # intersection intermediate; 0 = whole frame in one wavefront)
-    intersector: str = "brute"  # "megakernel" | "fused" | "brute" | "kdtree"
+    intersector: str = "brute"  # "megakernel" | "traverse" | "fused"
+    # | "brute" | "kdtree"
     kernel_precision: str = "highest"  # in-kernel matmul precision for
     # the Pallas selection kernels: "default" = single-pass bf16;
     # "high"/"highest" = 3-pass split-bf16 (≈f32 accuracy — Mosaic has
@@ -172,24 +181,35 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
     m, m_a = triangle_transforms(a, b, c)
     t_chunk = config.t_chunk if config.t_chunk > 0 else None
 
-    if config.intersector == "megakernel":
+    if config.intersector in ("megakernel", "traverse"):
         from ..ops.intersect_pallas import (
             pack_transforms_stream,
             pack_rows_full,
-            nearest_shade_full,
+            nearest_shade_full_diff,
             morton_order,
             chunk_aabbs_padded,
         )
 
+        traverse = config.intersector == "traverse"
         # "default" = single-pass bf16 (fast, unsafe near edges);
         # "high"/"highest" = 3-pass split-bf16 (≈f32; Mosaic has no
         # native HIGH/HIGHEST dot_general lowering).
         exact = config.kernel_precision != "default"
         # Streamed-kernel chunk: finer chunks cull better (tighter
         # Morton AABBs), coarser ones amortize per-chunk overhead.
-        sc = config.stream_chunk or (128 if config.chunk_cull else 256)
+        sc = config.stream_chunk or (128 if (config.chunk_cull or traverse) else 256)
+        if config.ray_tile and config.ray_tile % 128:
+            raise ValueError(
+                f"ray_tile must be a multiple of the TPU lane width 128, "
+                f"got {config.ray_tile}"
+            )
+        if config.stream_chunk and config.stream_chunk % 128:
+            raise ValueError(
+                f"stream_chunk must be a multiple of the TPU lane width "
+                f"128, got {config.stream_chunk}"
+            )
 
-        if config.chunk_cull:
+        if config.chunk_cull or traverse:
             # Spatially reorder the triangle axis so fixed chunks have
             # tight AABBs; all kernel-side data uses the same order, so
             # the permutation never needs inverting (returned indices
@@ -207,38 +227,61 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             rows = pack_rows_full(m, m_a, scene, sc)
             clo = chi = None
 
+        if traverse:
+            from ..ops.traverse_pallas import nearest_shade_traverse_diff
+
+            rows_t = rows.T
+
         def intersect_shade(pos3, dir3, live=None):
             if live is None:
                 live = jnp.ones((pos3.shape[1],), bool)
             kw = {}
             if config.ray_tile:
                 kw["ray_tile"] = config.ray_tile
-            idx, tbg, shade = nearest_shade_full(
-                ws, rows, pos3, dir3, live, clo, chi,
-                t_chunk=sc,
-                cull=config.chunk_cull,
-                interpret=config.pallas_interpret,
-                exact=exact,
-                **kw,
-            )
+            if traverse:
+                idx, tbg, shade = nearest_shade_traverse_diff(
+                    ws, rows_t, pos3, dir3, live, clo, chi,
+                    t_chunk=sc,
+                    interpret=config.pallas_interpret,
+                    exact=exact,
+                    **kw,
+                )
+            else:
+                idx, tbg, shade = nearest_shade_full_diff(
+                    ws, rows, pos3, dir3, live, clo, chi,
+                    t_chunk=sc,
+                    cull=config.chunk_cull,
+                    interpret=config.pallas_interpret,
+                    exact=exact,
+                    **kw,
+                )
             hitf = tbg[3]
             t = tbg[0]
             point = pos3 + (t * hitf)[None, :] * dir3
+            hitn = (hitf > 0.0)[None, :]
+            # Miss lanes carry an ALL-ZERO shading row. Valid-but-unused
+            # stand-ins keep masked lanes NaN-free under AD: a zero
+            # normal makes n·i = 0, and sample_fresnel's sqrt() terms
+            # then sit exactly at 0 where d(sqrt) = ∞ — the 0·∞ = NaN
+            # gradient trap (the lax paths avoid it by gathering a real
+            # triangle's values for misses, CUTracer.cu:47 semantics).
+            yhat = jnp.zeros((3, 1), shade.dtype).at[1, 0].set(1.0)
             return dict(
                 miss=hitf == 0.0,
                 t=t,
                 beta=tbg[1],
                 gamma=tbg[2],
                 point=point,
-                n0=shade[0:3],
-                n1=shade[3:6],
-                n2=shade[6:9],
+                n0=jnp.where(hitn, shade[0:3], yhat),
+                n1=jnp.where(hitn, shade[3:6], yhat),
+                n2=jnp.where(hitn, shade[6:9], yhat),
                 ka=shade[9:12],
                 kd=shade[12:15],
                 ks=shade[15:18],
                 ns=shade[18],
                 tr=shade[19],
-                ni=shade[20],
+                # ni = 0 would make sample_fresnel's 1/Ni divisions NaN.
+                ni=jnp.where(hitf > 0.0, shade[20], 1.0),
             )
 
         return intersect_shade
@@ -301,7 +344,10 @@ def trace_radiance_soa(
     intersect_shade = _make_intersect_shade(scene, config, accel)
     illum = jnp.float32(config.illum)
     n_seg = config.num_segments
-    use_sort = config.ray_sort and config.intersector == "megakernel"
+    use_sort = config.ray_sort and config.intersector in (
+        "megakernel",
+        "traverse",
+    )
     if use_sort:
         from ..ops.intersect_pallas import ray_sort_keys
 
