@@ -86,10 +86,57 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--intersector",
-        choices=["auto", "megakernel", "fused", "brute", "kdtree"],
+        choices=["auto", "megakernel", "traverse", "fused", "brute", "kdtree"],
         default="auto",
-        help="'auto' = megakernel on TPU, brute elsewhere; 'kdtree' "
-        "builds the accelerator (native C++ builder when available)",
+        help="'auto' = on TPU, the traversal megakernel for large "
+        "scenes and the streamed megakernel otherwise; brute elsewhere. "
+        "'kdtree' builds the accelerator (native C++ builder when "
+        "available)",
+    )
+    p.add_argument(
+        "--chunk-cull",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="megakernel: Morton-order triangles and skip chunks no "
+        "live ray reaches. 'auto' = on for anything bigger or more "
+        "open than a Cornell box (measured rule, render/integrator.py)",
+    )
+    p.add_argument(
+        "--ray-sort",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="re-sort bounce wavefronts by (origin Morton, direction "
+        "octant) each segment for kernel-tile coherence; bit-exact. "
+        "'auto' follows --chunk-cull",
+    )
+    p.add_argument(
+        "--ray-tile",
+        type=int,
+        default=0,
+        help="rays per megakernel grid tile (multiple of 128; 0 = 512)",
+    )
+    p.add_argument(
+        "--stream-chunk",
+        type=int,
+        default=0,
+        help="triangles per streamed kernel chunk (multiple of 128; "
+        "0 = auto)",
+    )
+    p.add_argument(
+        "--phong-model",
+        choices=["blinn", "phong"],
+        default="blinn",
+        help="specular sampler: 'blinn' = half-vector (the committed "
+        "reference code); 'phong' = classic reflection lobe (MC.docx "
+        "Figure 4 variant)",
+    )
+    p.add_argument(
+        "--kernel-precision",
+        choices=["highest", "high", "default"],
+        default="highest",
+        help="in-kernel matmul precision: 'highest'/'high' = exact "
+        "3-term split-bf16 (default); 'default' = single-pass bf16 "
+        "(fast, flips ~2%% of winners near triangle edges)",
     )
     p.add_argument("--tonemap", choices=["linear", "gamma"], default="linear")
     p.add_argument(
@@ -172,12 +219,30 @@ def main(argv=None) -> int:
     elif args.lookat is not None:
         raise SystemExit("--lookat requires --eye")
 
+    num_tris = int(scene.num_triangles)
+    # The measured rule (render/integrator.py chunk_cull docstring +
+    # BENCH_SCENES.json): culling loses slightly on a small closed
+    # Cornell box — every tile reaches every chunk — and wins ~1.5×
+    # on anything bigger or more open.
+    open_or_large = num_tris > 1200
+
     intersector = args.intersector
     if intersector == "auto":
-        intersector = (
-            "megakernel" if jax.default_backend() == "tpu" else "brute"
-        )
+        if jax.default_backend() == "tpu":
+            intersector = "traverse" if num_tris >= 8192 else "megakernel"
+        else:
+            intersector = "brute"
     ray_chunk = resolve_ray_chunk(args.ray_chunk, intersector)
+
+    def tristate(v, auto: bool) -> bool:
+        return auto if v == "auto" else v == "on"
+
+    chunk_cull = tristate(args.chunk_cull, open_or_large) and (
+        intersector == "megakernel"
+    )
+    ray_sort = tristate(
+        args.ray_sort, open_or_large or intersector == "traverse"
+    ) and intersector in ("megakernel", "traverse")
 
     accel = None
     if intersector == "kdtree":
@@ -200,6 +265,12 @@ def main(argv=None) -> int:
         illum=args.illum,
         ray_chunk=ray_chunk,
         intersector=intersector,
+        chunk_cull=chunk_cull,
+        ray_sort=ray_sort,
+        ray_tile=args.ray_tile,
+        stream_chunk=args.stream_chunk,
+        kernel_precision=args.kernel_precision,
+        phong_model=args.phong_model,
     )
     settings = RenderSettings(
         width=args.width,

@@ -91,14 +91,54 @@ def boundary_grad_translation(
     the caller. ``eps_px`` is the probe offset in pixels: small enough
     to stay inside the pixel, large enough that the two probe rays
     straddle the edge despite fp projection error.
+
+    Implemented as the row-sum of :func:`boundary_grad_vertices`: the
+    estimator is linear in the vertex velocity field, and a rigid
+    translation gives every vertex the same unit velocity.
+    """
+    gv = boundary_grad_vertices(
+        scene, camera, edges, image_grad, key,
+        width=width, height=height, config=config,
+        n_samples=n_samples, eps_px=eps_px, accel=accel,
+    )
+    return jnp.sum(gv, axis=0)
+
+
+def boundary_grad_vertices(
+    scene: ScenePack,
+    camera: Camera,
+    edges: jnp.ndarray,  # i32[E, 2] vertex-index pairs (unique_edges)
+    image_grad: jnp.ndarray,  # f32[H, W, 3] = dLoss/dI
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    config: TraceConfig,
+    n_samples: int = 4096,
+    eps_px: float = 0.3,
+    accel=None,
+) -> jnp.ndarray:
+    """Per-vertex boundary gradient dLoss/dvertices (f32[V, 3]).
+
+    Generalizes :func:`boundary_grad_translation` from a rigid θ ∈ R³
+    to arbitrary vertex velocities: an edge sample at parameter u on
+    edge (i0, i1) moves with world velocity (1−u)·v̇_{i0} + u·v̇_{i1},
+    so each sample's screen-velocity term scatters into its two
+    endpoint vertices with barycentric weights — two `scatter_add`s,
+    no per-vertex loops. Vertices not on any sampled edge get exactly
+    zero (matching the zero interior gradient of this material model).
+
+    Identity used by the tests: summing rows of the result over the
+    mesh's vertices equals `boundary_grad_translation` (the estimator
+    is linear in the velocity field and a translation moves every
+    vertex with the same unit velocity).
     """
     E = edges.shape[0]
+    V = scene.vertices.shape[0]
     v = scene.vertices.T  # [3, V]
     p0 = v[:, edges[:, 0]]  # [3, E]
     p1 = v[:, edges[:, 1]]
 
-    # Project endpoints; sample edges ∝ projected length (edges behind
-    # the camera get zero weight).
     x0, y0, z0 = _project(camera, p0, width, height)
     x1, y1, z1 = _project(camera, p1, width, height)
     seg_len = jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
@@ -112,7 +152,6 @@ def boundary_grad_translation(
     eidx = jnp.searchsorted(cdf, u_pick).astype(jnp.int32)
     eidx = jnp.clip(eidx, 0, E - 1)
 
-    # Screen-space sample point + unit tangent/normal of the edge.
     sx0, sy0 = x0[eidx], y0[eidx]
     sx1, sy1 = x1[eidx], y1[eidx]
     sx = sx0 + (sx1 - sx0) * u_along
@@ -120,47 +159,48 @@ def boundary_grad_translation(
     tx, ty = sx1 - sx0, sy1 - sy0
     tlen = jnp.sqrt(tx * tx + ty * ty)
     safe_t = jnp.maximum(tlen, 1e-12)
-    nx, ny = -ty / safe_t, tx / safe_t  # screen normal (unit)
+    nx, ny = -ty / safe_t, tx / safe_t
 
-    # Probe radiance on both sides of the edge: rays through s ± ε·n̂.
     zeros = jnp.zeros((2 * n_samples,))
     xs = jnp.concatenate([sx + eps_px * nx, sx - eps_px * nx])
     ys = jnp.concatenate([sy + eps_px * ny, sy - eps_px * ny])
     pos3, dir3 = camera.generate_rays_soa(xs, ys, zeros, zeros, width, height)
     rad = trace_radiance_soa(
         scene, pos3, dir3, jax.random.fold_in(key, 13), config, accel
-    )  # [3, 2N]
+    )
     l_plus = rad[:, :n_samples]
     l_minus = rad[:, n_samples:]
 
-    # Screen velocity of the sample point under unit translation e_k:
-    # v_k = d(screen)/d(world) · e_k, evaluated by jvp of the projection
-    # at the 3-D edge point (all endpoints move together under a rigid
-    # translation, so the point's world velocity is e_k exactly).
     p3 = p0[:, eidx] + (p1[:, eidx] - p0[:, eidx]) * u_along[None, :]
 
     def proj_xy(q):
         a, b, _ = _project(camera, q, width, height)
         return jnp.stack([a, b])
 
-    # Loss weight at the containing pixel.
     px = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, width - 1)
     py = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, height - 1)
     wpix = image_grad[py, px, :].T  # [3, N]
-
-    # (dLoss/dI) · (L⁻ − L⁺) summed over channels, per sample.
     scal = jnp.sum(wpix * (l_minus - l_plus), axis=0)  # [N]
-    # Invalid samples (degenerate projection / behind camera) drop out.
     valid = (tlen > 1e-9) & vis[eidx]
     scal = jnp.where(valid, scal, 0.0)
 
-    grads = []
+    # Per-axis screen velocity of the sample under a unit world
+    # displacement (jvp is linear in the velocity, so the barycentric
+    # factor scales it afterwards).
+    per_axis = []
     for k in range(3):
         ek = jnp.zeros((3, 1)).at[k, 0].set(1.0)
         _, dv = jax.jvp(proj_xy, (p3,), (jnp.broadcast_to(ek, p3.shape),))
         v_dot_n = dv[0] * nx + dv[1] * ny  # [N]
-        grads.append(jnp.sum(scal * v_dot_n) * total_len / n_samples)
-    return jnp.stack(grads)
+        per_axis.append(scal * v_dot_n * total_len / n_samples)
+    contrib = jnp.stack(per_axis, axis=1)  # [N, 3]
+
+    i0 = edges[eidx, 0]
+    i1 = edges[eidx, 1]
+    out = jnp.zeros((V, 3), jnp.float32)
+    out = out.at[i0].add(contrib * (1.0 - u_along)[:, None])
+    out = out.at[i1].add(contrib * u_along[:, None])
+    return out
 
 
 def make_translation_problem(

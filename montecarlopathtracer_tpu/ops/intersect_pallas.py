@@ -86,28 +86,46 @@ def _bf16_split3(x: jnp.ndarray):
     )
 
 
-def _split_cat(x: jnp.ndarray, axis: int, order: str) -> jnp.ndarray:
+def _split_cat(
+    x: jnp.ndarray, axis: int, order: str, terms: int = 3
+) -> jnp.ndarray:
     """Exact-product K-packing (the in-kernel replacement for
     precision=HIGHEST, which Mosaic's dot_general does not lower).
 
-    Concatenating the 3-term truncation split 6× along the contraction
-    axis — ``[h|h|h|l1|l1|l2]`` on one operand against
-    ``[h|l1|l2|h|l1|h]`` on the other — makes a SINGLE K=6·8=48 MXU
-    contraction accumulate h·h′ + h·l1′ + h·l2′ + l1·h′ + l1·l1′ +
-    l2·h′ in f32: max rel error 1.1e-7 measured on-chip (vs 6e-8 for
-    XLA's f32 HIGHEST and 2e-3 for single-pass bf16). One matmul pass —
-    any K ≤ 128 costs one systolic pass. Alternatives measured and
-    rejected: separate multi-pass matmuls spill VMEM at large row
-    counts (393 s compile / 11× runtime); single-pass bf16 flips the
-    β/γ accept tests near triangle edges (~2% wrong winners — the
-    on-TPU gate's round-2 catch); a rounding-based split is elided by
-    XLA entirely (see `_trunc16`).
+    ``terms=3`` (kernel_precision="highest"): concatenating the 3-term
+    truncation split 6× along the contraction axis —
+    ``[h|h|h|l1|l1|l2]`` on one operand against ``[h|l1|l2|h|l1|h]`` on
+    the other — makes a SINGLE K=6·8=48 MXU contraction accumulate
+    h·h′ + h·l1′ + h·l2′ + l1·h′ + l1·l1′ + l2·h′ in f32: max rel
+    error 1.1e-7 measured on-chip (vs 6e-8 for XLA's f32 HIGHEST and
+    2e-3 for single-pass bf16). One matmul pass — any K ≤ 128 costs one
+    systolic pass.
+
+    ``terms=2`` (kernel_precision="high"): 2-term split packed 3× —
+    ``[h|h|l1]`` against ``[h|l1|h]`` — accumulates h·h′ + h·l1′ +
+    l1·h′, dropping the O(2⁻¹⁶) l1·l1′ cross term: K=24, HALF the MXU
+    selection work. 256× tighter than single-pass bf16; whether any
+    winner flips survive at this tier is measured by the on-TPU gate
+    (tools/tpu_check.py), not assumed.
+
+    Alternatives measured and rejected: separate multi-pass matmuls
+    spill VMEM at large row counts (393 s compile / 11× runtime);
+    single-pass bf16 flips the β/γ accept tests near triangle edges
+    (~2% wrong winners — the on-TPU gate's round-2 catch); a
+    rounding-based split is elided by XLA entirely (see `_trunc16`).
     """
-    h, l1, l2 = _bf16_split3(x)
-    blocks = {
-        "hhll": (h, h, h, l1, l1, l2),  # "a"-side ordering
-        "hlhl": (h, l1, l2, h, l1, h),  # "b"-side ordering
-    }[order]
+    if terms == 2:
+        h, l1, _ = _bf16_split3(x)
+        blocks = {
+            "hhll": (h, h, l1),  # "a"-side ordering
+            "hlhl": (h, l1, h),  # "b"-side ordering
+        }[order]
+    else:
+        h, l1, l2 = _bf16_split3(x)
+        blocks = {
+            "hhll": (h, h, h, l1, l1, l2),  # "a"-side ordering
+            "hlhl": (h, l1, l2, h, l1, h),  # "b"-side ordering
+        }[order]
     return jnp.concatenate(blocks, axis=axis)
 
 
@@ -964,7 +982,7 @@ def pack_rows_full(
     return rows
 
 
-def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool):
+def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3):
     """v4 self-contained megakernel body.
 
     Measured motivation (see PERF.md): the selection contraction itself
@@ -1007,7 +1025,7 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool):
     def _():
         rays = rays_ref[:]  # (8, Rt) f32
         rk_ref[:] = (
-            _split_cat(rays, 0, "hlhl")
+            _split_cat(rays, 0, "hlhl", terms)
             if exact
             else rays.astype(jnp.bfloat16)
         )
@@ -1035,7 +1053,7 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool):
         # ~10 VPU ops on an (8, 6·tc) block.
         ws_blk = ws_ref[:]
         w_k = (
-            _split_cat(ws_blk, 0, "hhll")
+            _split_cat(ws_blk, 0, "hhll", terms)
             if exact
             else ws_blk.astype(jnp.bfloat16)
         )
@@ -1111,7 +1129,9 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_tile", "t_chunk", "interpret", "exact", "cull"),
+    static_argnames=(
+        "ray_tile", "t_chunk", "interpret", "exact", "cull", "terms"
+    ),
 )
 def nearest_shade_full(
     ws: jnp.ndarray,  # f32[8, T_pad*6] (pack_transforms_stream)
@@ -1127,10 +1147,18 @@ def nearest_shade_full(
     interpret: bool = False,
     exact: bool = True,
     cull: bool = False,
+    terms: int = 3,
 ):
     """v4 self-contained megakernel: ONE pallas_call returns
     (idx i32[R], tbg f32[4, R], shade f32[32, R]) with no XLA epilogue
     — see `_mega_kernel_v4`. Streams any triangle count.
+
+    Scale limit in CULL mode only: the chunk AABBs (clo/chi) are
+    whole-array SMEM operands, so the chunk count is bounded by scalar
+    memory — ~24 B/chunk ⇒ roughly 1M triangles at the default 128-tri
+    chunks before SMEM pressure; coarsen ``t_chunk`` (chunk size
+    doubling halves SMEM) for bigger scenes. Non-cull streaming is
+    unbounded.
     """
     R = pos3.shape[1]
     K_T6 = ws.shape[1]
@@ -1172,7 +1200,8 @@ def nearest_shade_full(
 
     idx, tbg, shade = pl.pallas_call(
         functools.partial(
-            _mega_kernel_v4, t_chunk=t_chunk, cull=cull, exact=exact
+            _mega_kernel_v4, t_chunk=t_chunk, cull=cull, exact=exact,
+            terms=terms,
         ),
         grid=(Rp // ray_tile, nc),
         in_specs=in_specs,
@@ -1188,8 +1217,8 @@ def nearest_shade_full(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (48 if exact else 8, ray_tile), jnp.bfloat16
-            ),  # packed rays cache
+                ((48 if terms == 3 else 24) if exact else 8, ray_tile), jnp.bfloat16
+            ),  # packed rays cache (K = 48 / 24 / 8)
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best t
             pltpu.VMEM((1, ray_tile), jnp.int32),  # best index
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best beta
@@ -1254,7 +1283,7 @@ def _recompute_winner(rows, idx, pos3, dir3):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull):
+def _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull, terms=3):
     """Differentiable wrapper around `nearest_shade_full`.
 
     Forward = the v4 kernel verbatim (zero per-ray gathers). Backward =
@@ -1277,7 +1306,7 @@ def _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull):
         return nearest_shade_full(
             ws, rows, pos3, dir3, live, clo, chi,
             ray_tile=ray_tile, t_chunk=t_chunk,
-            interpret=interpret, exact=exact, cull=cull,
+            interpret=interpret, exact=exact, cull=cull, terms=terms,
         )
 
     def fwd(ws, rows, pos3, dir3, live, clo, chi):
@@ -1306,14 +1335,15 @@ def nearest_shade_full_diff(
     ws, rows, pos3, dir3, live=None, clo=None, chi=None, *,
     ray_tile: int = _RAY_TILE, t_chunk: int = 256,
     interpret: bool = False, exact: bool = True, cull: bool = False,
+    terms: int = 3,
 ):
     """`nearest_shade_full` with a.e.-correct gradients (see
     `_make_diff_megakernel`). Same interface and outputs."""
     if live is None:
         live = jnp.ones((pos3.shape[1],), jnp.float32)
-    return _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull)(
-        ws, rows, pos3, dir3, live, clo, chi
-    )
+    return _make_diff_megakernel(
+        ray_tile, t_chunk, interpret, exact, cull, terms
+    )(ws, rows, pos3, dir3, live, clo, chi)
 
 
 def _part1by2(x: jnp.ndarray) -> jnp.ndarray:

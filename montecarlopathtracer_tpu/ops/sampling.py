@@ -102,6 +102,32 @@ def sample_phong(
     return indir - half * (2.0 * dot3(indir, half))[None, :]
 
 
+def sample_phong_reflect(
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    normal: jnp.ndarray,
+    indir: jnp.ndarray,
+    ns: jnp.ndarray,
+) -> jnp.ndarray:
+    """Classic-Phong specular sample: draw the OUTGOING direction from
+    the cos^Ns lobe about the mirror reflection of ``indir``.
+
+    The reference's committed sampler is the half-vector (Blinn-Phong)
+    formulation (`Utils.hpp:72-95` = `sample_phong` above), but
+    MC.docx's result figures compare a "Blinn-Phong model" against a
+    "Phong model" (Figures 3/4 = the committed result3/result4
+    renders), so the classic variant is a reference capability too.
+    Selected with ``TraceConfig.phong_model="phong"``.
+    """
+    cos_t = jnp.power(jnp.maximum(u1, 1e-30), 1.0 / (ns + 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), cos_t, sin_t * jnp.sin(phi)], axis=0
+    )
+    return _rotate_to_frame(local, _reflect(indir, normal))
+
+
 def _reflect(indir: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     return indir - normal * (2.0 * dot3(indir, normal))[None, :]
 

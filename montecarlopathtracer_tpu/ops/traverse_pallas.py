@@ -168,6 +168,7 @@ def _traverse_kernel(
     *,
     t_chunk: int,
     exact: bool,
+    terms: int = 3,
 ):
     tc = t_chunk
     nc = ord_ref.shape[1]
@@ -177,7 +178,9 @@ def _traverse_kernel(
 
     rays = rays_ref[:]  # (8, Rt) f32
     rk_ref[:] = (
-        _split_cat(rays, 0, "hlhl") if exact else rays.astype(jnp.bfloat16)
+        _split_cat(rays, 0, "hlhl", terms)
+        if exact
+        else rays.astype(jnp.bfloat16)
     )
     live = live_ref[0, :] > 0.0
     bt_ref[0, :] = jnp.full((Rt,), _BIG, jnp.float32)
@@ -204,13 +207,20 @@ def _traverse_kernel(
         ws_dma(slot, j).start()
         rows_dma(slot, j).start()
 
-    @pl.when(n0 > 0)
-    def _():
-        issue(0, ord_ref[row, 0])
+    def ord_at(p):
+        # Clamped traversal-list read: positions past the list's end
+        # re-fetch the last chunk. This makes EVERY DMA unconditional —
+        # each loop iteration waits one slot and prefetches one slot,
+        # so exactly two copies are outstanding at every loop boundary
+        # on every control path (drained by the two waits at the end).
+        # A clamped prefetch is a harmless ~100 KB over-read per tile;
+        # conditional starts, by contrast, are both a deadlock risk
+        # (semaphore imbalance leaks into later grid steps) and
+        # unsupported by the interpreter's DMA emulation.
+        return ord_ref[row, jnp.minimum(p, nc - 1)]
 
-    @pl.when(n0 > 1)
-    def _():
-        issue(1, ord_ref[row, 1])
+    issue(0, ord_at(0))
+    issue(1, ord_at(1))
 
     def reach_lanes(j, tmax):
         """Per-lane segment-vs-AABB slab test for chunk j (f32 VPU)."""
@@ -248,7 +258,7 @@ def _traverse_kernel(
         """The v4 chunk body against the slot's VMEM buffers."""
         ws_blk = ws_buf[slot]  # (8, 6·tc) f32
         w_k = (
-            _split_cat(ws_blk, 0, "hhll")
+            _split_cat(ws_blk, 0, "hhll", terms)
             if exact
             else ws_blk.astype(jnp.bfloat16)
         )
@@ -303,21 +313,19 @@ def _traverse_kernel(
         brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
 
     def body(carry):
-        p, n_stop, n_issued = carry
+        p, n_stop = carry
         slot = jax.lax.rem(p, 2)
-        j = ord_ref[row, p]
-        # Wait for this position's DMA (every p < n_issued was issued;
-        # positions past n_stop are drained without compute so the
-        # semaphores stay balanced across grid steps).
+        j = ord_at(p)
         ws_dma(slot, j).wait()
         rows_dma(slot, j).wait()
 
-        do = (p < n_stop) & jnp.any(reach_lanes(j, bt_ref[0, :]))
+        do = jnp.any(reach_lanes(j, bt_ref[0, :]))
         jax.lax.cond(do, lambda: compute_chunk(slot, j), lambda: None)
 
-        # Early exit: tmin is sorted ascending, so if the NEXT chunk's
-        # distance bound already exceeds every live lane's best-t, no
-        # remaining chunk can improve any lane — stop fetching.
+        # Early exit: tmin is sorted ascending, so once the NEXT
+        # chunk's distance bound exceeds every live lane's best-t, no
+        # remaining chunk can improve any lane — stop walking (the two
+        # in-flight prefetches are drained below).
         bt_max = jnp.max(jnp.where(live, bt_ref[0, :], 0.0))
         nxt = jnp.minimum(p + 1, nc - 1)
         n_stop = jnp.where(
@@ -326,23 +334,19 @@ def _traverse_kernel(
             n_stop,
         )
 
-        do_issue = n_issued < n_stop
+        issue(slot, ord_at(p + 2))  # unconditional prefetch (see ord_at)
+        return (p + 1, n_stop)
 
-        def start_next():
-            issue(jax.lax.rem(n_issued, 2), ord_ref[row, n_issued])
-
-        jax.lax.cond(do_issue, start_next, lambda: None)
-        return (
-            p + 1,
-            n_stop,
-            jnp.where(do_issue, n_issued + 1, n_issued),
-        )
-
-    jax.lax.while_loop(
-        lambda c: c[0] < c[2],
-        body,
-        (jnp.int32(0), n0, jnp.minimum(n0, 2)),
+    p_end, _ = jax.lax.while_loop(
+        lambda c: c[0] < c[1], body, (jnp.int32(0), n0)
     )
+
+    # Drain the two outstanding prefetches (positions p_end, p_end+1 —
+    # possibly clamped duplicates; the waits match by copy size).
+    ws_dma(jax.lax.rem(p_end, 2), ord_at(p_end)).wait()
+    rows_dma(jax.lax.rem(p_end, 2), ord_at(p_end)).wait()
+    ws_dma(jax.lax.rem(p_end + 1, 2), ord_at(p_end + 1)).wait()
+    rows_dma(jax.lax.rem(p_end + 1, 2), ord_at(p_end + 1)).wait()
 
     hit = bt_ref[0, :] < _BIG
     hitf = hit.astype(jnp.float32)
@@ -356,7 +360,7 @@ def _traverse_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_tile", "t_chunk", "interpret", "exact"),
+    static_argnames=("ray_tile", "t_chunk", "interpret", "exact", "terms"),
 )
 def nearest_shade_traverse(
     ws: jnp.ndarray,  # f32[8, T_pad*6] (pack_transforms_stream, Morton)
@@ -371,6 +375,7 @@ def nearest_shade_traverse(
     t_chunk: int = 128,
     interpret: bool = False,
     exact: bool = True,
+    terms: int = 3,
 ):
     """Traversal megakernel (v5): v4's outputs at tree-traversal cost.
 
@@ -409,9 +414,11 @@ def nearest_shade_traverse(
         pos3, dir3, live_f, clo, chi, ray_tile
     )
 
-    K = 48 if exact else 8
+    K = (48 if terms == 3 else 24) if exact else 8
     idx, tbg, shade = pl.pallas_call(
-        functools.partial(_traverse_kernel, t_chunk=t_chunk, exact=exact),
+        functools.partial(
+            _traverse_kernel, t_chunk=t_chunk, exact=exact, terms=terms
+        ),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(
@@ -471,7 +478,7 @@ def nearest_shade_traverse(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_diff_traverse(ray_tile, t_chunk, interpret, exact):
+def _make_diff_traverse(ray_tile, t_chunk, interpret, exact, terms=3):
     """Differentiable wrapper around `nearest_shade_traverse` — same
     argmin-differentiation scheme as
     `intersect_pallas._make_diff_megakernel`: forward is the traversal
@@ -484,7 +491,7 @@ def _make_diff_traverse(ray_tile, t_chunk, interpret, exact):
         return nearest_shade_traverse(
             ws, rows_t, clo, chi, pos3, dir3, live,
             ray_tile=ray_tile, t_chunk=t_chunk,
-            interpret=interpret, exact=exact,
+            interpret=interpret, exact=exact, terms=terms,
         )
 
     def fwd(ws, rows_t, pos3, dir3, live, clo, chi):
@@ -512,11 +519,11 @@ def _make_diff_traverse(ray_tile, t_chunk, interpret, exact):
 def nearest_shade_traverse_diff(
     ws, rows_t, pos3, dir3, live=None, clo=None, chi=None, *,
     ray_tile: int = _RAY_TILE, t_chunk: int = 128,
-    interpret: bool = False, exact: bool = True,
+    interpret: bool = False, exact: bool = True, terms: int = 3,
 ):
     """`nearest_shade_traverse` with a.e.-correct gradients."""
     if live is None:
         live = jnp.ones((pos3.shape[1],), jnp.float32)
-    return _make_diff_traverse(ray_tile, t_chunk, interpret, exact)(
+    return _make_diff_traverse(ray_tile, t_chunk, interpret, exact, terms)(
         ws, rows_t, pos3, dir3, live, clo, chi
     )

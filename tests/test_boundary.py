@@ -93,3 +93,76 @@ def test_sgd_recovers_lamp_translation():
         # the gradient signal — a real property, not an estimator bug).
         th = th.at[0].add(-lr * float(g[0]))
     assert abs(float(th[0])) < 0.5, f"did not recover: {th}"
+
+
+def test_per_vertex_boundary_grad_sums_to_translation():
+    """Linearity identity: the per-vertex estimator's row-sum equals
+    the rigid-translation gradient (same key → same edge samples)."""
+    from montecarlopathtracer_tpu.diff.boundary import (
+        boundary_grad_translation,
+        boundary_grad_vertices,
+    )
+
+    scene, cam, tri_mask = _setup()
+    target = _render(scene, cam, jax.random.key(7), spp=4)
+    img = _render(scene, cam, jax.random.key(8), spp=4)
+    image_grad = 2.0 * (img - target) / img.size
+    edges = jnp.asarray(unique_edges(scene.tri_v, tri_mask))
+    kw = dict(width=32, height=32, config=CFG, n_samples=1024)
+    k = jax.random.key(3)
+    g3 = boundary_grad_translation(scene, cam, edges, image_grad, k, **kw)
+    gv = boundary_grad_vertices(scene, cam, edges, image_grad, k, **kw)
+    assert gv.shape == (scene.vertices.shape[0], 3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(gv, axis=0)), np.asarray(g3), rtol=1e-5, atol=1e-7
+    )
+    # only edge-endpoint vertices receive gradient
+    vids = np.unique(np.asarray(edges).ravel())
+    mask = np.zeros(scene.vertices.shape[0], bool)
+    mask[vids] = True
+    assert np.all(np.asarray(gv)[~mask] == 0.0)
+
+
+def test_per_vertex_boundary_grad_matches_finite_difference():
+    """FD check for a SINGLE lamp vertex (VERDICT r2 next-step 8): move
+    one vertex of the ceiling lamp along x and compare the estimator's
+    dLoss/dvertex row against a central finite difference."""
+    import dataclasses
+    from montecarlopathtracer_tpu.diff.boundary import (
+        boundary_grad_vertices,
+    )
+
+    scene, cam, tri_mask = _setup()
+    target = _render(scene, cam, jax.random.key(21), spp=8)
+    edges_np = unique_edges(scene.tri_v, tri_mask)
+    # pick the lamp vertex with the largest x (a silhouette corner)
+    vids = np.unique(edges_np.ravel())
+    vid = int(vids[np.argmax(np.asarray(scene.vertices)[vids, 0])])
+    edges = jnp.asarray(edges_np)
+
+    def displaced(dx):
+        v = scene.vertices.at[vid, 0].add(dx)
+        return dataclasses.replace(scene, vertices=v)
+
+    def loss_and_imggrad(dx, key):
+        s = displaced(dx)
+        img = _render(s, cam, key, spp=8)
+        loss = float(jnp.mean((img - target) ** 2))
+        return s, loss, 2.0 * (img - target) / img.size
+
+    # displace so the configuration is asymmetric (nonzero gradient)
+    base = 0.8
+    key = jax.random.key(5)
+    s, loss0, image_grad = loss_and_imggrad(base, key)
+    gv = boundary_grad_vertices(
+        s, cam, edges, image_grad, jax.random.key(1),
+        width=32, height=32, config=CFG, n_samples=8192,
+    )
+    g = float(gv[vid, 0])
+
+    h = 0.1
+    _, lp, _ = loss_and_imggrad(base + h, key)
+    _, lm, _ = loss_and_imggrad(base - h, key)
+    fd = (lp - lm) / (2 * h)
+    assert g > 0.0, "moving the corner further must increase the loss"
+    assert abs(g - fd) < 0.5 * max(abs(fd), 0.02), (g, fd)

@@ -123,3 +123,40 @@ def test_samplers_finite_at_edge_uniforms():
                 sample_fresnel(uu, nv, indir, jnp.full((8,), 0.9), jnp.full((8,), 1.5))
             )
         ).all()
+
+
+def test_sample_phong_reflect_lobe():
+    """Classic-Phong sampler: outgoing directions concentrate around
+    the mirror reflection with cos^Ns statistics (E[cos α] =
+    (Ns+1)/(Ns+2)), and huge Ns collapses to the mirror direction."""
+    from montecarlopathtracer_tpu.ops.sampling import (
+        sample_phong_reflect,
+        dot3,
+    )
+
+    R = 20000
+    key = jax.random.key(0)
+    u1 = jax.random.uniform(key, (R,))
+    u2 = jax.random.uniform(jax.random.fold_in(key, 1), (R,))
+    normal = jnp.tile(jnp.asarray([[0.0], [1.0], [0.0]]), (1, R))
+    indir = jnp.tile(
+        jnp.asarray([[0.6], [-0.8], [0.0]]), (1, R)
+    )  # unit, hitting from above
+    mirror = jnp.tile(jnp.asarray([[0.6], [0.8], [0.0]]), (1, R))
+
+    for ns in (5.0, 50.0):
+        out = sample_phong_reflect(u1, u2, normal, indir, jnp.full((R,), ns))
+        # unit outputs
+        np.testing.assert_allclose(
+            np.asarray(dot3(out, out)), 1.0, atol=1e-5
+        )
+        cos_a = np.asarray(dot3(out, mirror))
+        expect = (ns + 1.0) / (ns + 2.0)
+        assert abs(cos_a.mean() - expect) < 0.01, (ns, cos_a.mean())
+
+    out = sample_phong_reflect(
+        u1, u2, normal, indir, jnp.full((R,), 1e6)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mirror), atol=1e-2
+    )

@@ -164,6 +164,48 @@ def main() -> int:
     }
     print(f"mcrt: {json.dumps(report['mcrt'], indent=1)}", file=sys.stderr)
 
+    # ---- scene3 vs result3/result4 (Blinn-Phong vs Phong figures) ----------
+    # scene03 is not wired into the reference's main.cpp; result3/4 are
+    # MC.docx Figures 3/4 ("Blinn-Phong model" vs "Phong model") of the
+    # red/green box whose back wall and floor are Ns=1000 mirrors. The
+    # visible "lamp"/"boxes"/"corridor" in the goldens are mirror images
+    # — projecting the virtual (reflected) lamp/boxes pins the camera to
+    # the scene-1 style eye=(0, 5, ~4.8), −z, 60° FOV our
+    # `camera_for_scene(3)` uses. Mirror-heavy transport: needs high spp.
+    for variant, phong_model in (("blinn", "blinn"), ("phong", "phong")):
+        scene, cam = cornell.load_reference_scene(3, width=800, height=600)
+        config = TraceConfig(
+            mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
+            intersector=intersector, phong_model=phong_model,
+        )
+        settings = RenderSettings(
+            width=800, height=600,
+            spp_per_pass=max(2048 // (128 * spp_scale), 1), passes=128,
+            seed=0,
+        )
+        print(f"scene3[{variant}]: rendering", file=sys.stderr)
+        r = render_film(scene, cam, config, settings)
+        film = np.asarray(r.film.color)
+        ours_u8 = tonemap_linear(film)
+        save_png(os.path.join(OUT, f"scene03_{variant}_ours.png"), ours_u8)
+        entry = {
+            "spp": int(settings.spp_per_pass * settings.passes),
+            "phong_model": phong_model,
+        }
+        for gn in ("result3.png", "result4.png"):
+            golden_path = f"{REF}/CVMCTracer/CVMCTracer/{gn}"
+            golden = load_png(golden_path)
+            s = _fit_scale(film, golden)
+            fitted_u8 = np.clip(film * s * 255.0, 0, 255).astype(np.uint8)
+            entry[gn] = {
+                "nominal": compare_images(ours_u8, golden),
+                "fitted_scale": round(s, 4),
+                "fitted": compare_images(fitted_u8, golden),
+            }
+        report[f"scene3_{variant}"] = entry
+        print(f"scene3[{variant}]: {json.dumps(entry, indent=1)}",
+              file=sys.stderr)
+
     with open(os.path.join(OUT, "GOLDEN.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
