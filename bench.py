@@ -123,9 +123,13 @@ def main():
         )
 
         gspp = int(os.environ.get("BENCH_GRAD_SPP", 2))
+        # The megakernel is differentiable since round 3 (custom_vjp
+        # with winner-recompute backward): the gradient render now runs
+        # the same zero-gather forward kernel as inference, with the
+        # per-ray gathers existing only in the backward pass.
         gcfg = TraceConfig(
             mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
-            intersector="fused",
+            intersector=os.environ.get("BENCH_GRAD_INTERSECTOR", "megakernel"),
         )
         target = jnp.zeros((height, width, 3), jnp.float32)
         loss_fn = make_loss_fn(

@@ -190,7 +190,7 @@ def resolve_ray_chunk(requested, intersector: str) -> int:
     30000-ray tiles for the lax paths (which do)."""
     if requested is not None:
         return requested
-    return 0 if intersector in ("megakernel", "fused") else 30000
+    return 0 if intersector in ("megakernel", "traverse", "fused") else 30000
 
 
 def main(argv=None) -> int:
@@ -221,15 +221,18 @@ def main(argv=None) -> int:
 
     num_tris = int(scene.num_triangles)
     # The measured rule (render/integrator.py chunk_cull docstring +
-    # BENCH_SCENES.json): culling loses slightly on a small closed
-    # Cornell box — every tile reaches every chunk — and wins ~1.5×
-    # on anything bigger or more open.
+    # BENCH_SCENES.json): chunk skipping loses slightly on a small
+    # closed Cornell box — every tile reaches every chunk — and wins
+    # everywhere bigger or more open. The traversal kernel subsumes the
+    # cull path (same frustum cull + front-to-back early exit + DMA
+    # skipping) and compiles in seconds where cull mode's 2-D-grid
+    # kernel takes minutes, so 'auto' routes open/large scenes to it.
     open_or_large = num_tris > 1200
 
     intersector = args.intersector
     if intersector == "auto":
         if jax.default_backend() == "tpu":
-            intersector = "traverse" if num_tris >= 8192 else "megakernel"
+            intersector = "traverse" if open_or_large else "megakernel"
         else:
             intersector = "brute"
     ray_chunk = resolve_ray_chunk(args.ray_chunk, intersector)
@@ -237,7 +240,9 @@ def main(argv=None) -> int:
     def tristate(v, auto: bool) -> bool:
         return auto if v == "auto" else v == "on"
 
-    chunk_cull = tristate(args.chunk_cull, open_or_large) and (
+    # Explicit opt-in only: the traversal kernel is the faster way to
+    # get chunk skipping (see above).
+    chunk_cull = tristate(args.chunk_cull, False) and (
         intersector == "megakernel"
     )
     ray_sort = tristate(

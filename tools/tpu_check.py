@@ -212,6 +212,27 @@ def run_checks(write_golden: str | None = None) -> int:
     all_ok &= results["mega_v4_values"]["ok"]
     print(f"  mega_v4_values: {results['mega_v4_values']}", file=sys.stderr)
 
+    # 1d. v4 at kernel_precision="high" (2-term split, K=24 — half the
+    # MXU selection work). The gate DECIDES whether this tier is safe:
+    # its l1·l1′ truncation is O(2⁻¹⁶) relative, 256× tighter than the
+    # single-pass bf16 that round 2 caught flipping ~2% of winners.
+    idx_h, tbg_h, shade_h = nearest_shade_full(
+        ws, rows, o.T, d.T, t_chunk=256, exact=True, terms=2
+    )
+    all_ok &= _near_tie_check("mega_v4_high", hb, idx_h, tbg_h[0], results)
+    kd_err_h = float(
+        np.abs(np.asarray(shade_h[12:15]).T[hitm] - kd_ref[hitm]).max()
+    )
+    results["mega_v4_high_values"] = {
+        "max_kd_err": round(kd_err_h, 9),
+        "ok": bool(kd_err_h < 1e-6),
+    }
+    all_ok &= results["mega_v4_high_values"]["ok"]
+    print(
+        f"  mega_v4_high_values: {results['mega_v4_high_values']}",
+        file=sys.stderr,
+    )
+
     # 2. fused
     hf = intersect_fused(m, m_a, scene.tri_valid, o, d)
     all_ok &= _near_tie_check("fused", hb, hf.tri_id, hf.t, results)
@@ -240,6 +261,36 @@ def run_checks(write_golden: str | None = None) -> int:
     idx_scg = jnp.where(idx_sc >= 0, perm[jnp.maximum(idx_sc, 0)], -1)
     all_ok &= _near_tie_check(
         "streamed_culled", hb, idx_scg, tbg_sc[0], results
+    )
+
+    # 3c. v5 traversal megakernel (front-to-back early-exit walk) —
+    # correctness must be independent of the ordering/culling
+    # heuristics, so it faces the same near-tie gate as everything else.
+    from montecarlopathtracer_tpu.ops.traverse_pallas import (
+        nearest_shade_traverse,
+    )
+
+    rows_p_t = pack_rows_full(m[perm], m_a[perm], scene, 128, perm=perm).T
+    idx_tv, tbg_tv, shade_tv = nearest_shade_traverse(
+        ws_p, rows_p_t, clo_s, chi_s, o.T, d.T, live, t_chunk=128,
+        exact=True,
+    )
+    idx_tvg = jnp.where(idx_tv >= 0, perm[jnp.maximum(idx_tv, 0)], -1)
+    all_ok &= _near_tie_check("traverse_v5", hb, idx_tvg, tbg_tv[0], results)
+    hit_tv = (np.asarray(idx_tvg) == np.asarray(hb.tri_id)) & (
+        np.asarray(hb.tri_id) >= 0
+    )
+    kd_err_tv = float(
+        np.abs(np.asarray(shade_tv[12:15]).T[hit_tv] - kd_ref[hit_tv]).max()
+    )
+    results["traverse_v5_values"] = {
+        "max_kd_err": round(kd_err_tv, 9),
+        "ok": bool(kd_err_tv < 1e-6),
+    }
+    all_ok &= results["traverse_v5_values"]["ok"]
+    print(
+        f"  traverse_v5_values: {results['traverse_v5_values']}",
+        file=sys.stderr,
     )
 
     # 4. KD traversal
