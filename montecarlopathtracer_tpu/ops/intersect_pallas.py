@@ -50,6 +50,17 @@ _T_CHUNK = 1024  # triangles per inner chunk: bounds VMEM temporaries
 _T_CHUNK_CULLED = 256  # chunk granularity for AABB culling
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct for pallas_call out_shape that inherits the
+    varying-manual-axes type of ``like`` — required under shard_map's
+    `check_vma` typecheck (a plain ShapeDtypeStruct has vma=None and is
+    rejected when the kernel runs inside a mesh body)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _divisor_chunk(T: int, want: int, step: int = 128) -> int:
     """Largest chunk ≤ ``want`` that divides T (T is 128-padded)."""
     c = min(want, T)
@@ -269,7 +280,7 @@ def nearest_triangle(
         out_specs=pl.BlockSpec(
             (ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+        out_shape=_sds((Rp, 1), jnp.int32, rays_k),
         interpret=interpret,
     )(rays_k, w_k)
     return idx[:R, 0]
@@ -481,7 +492,7 @@ def nearest_shade(
         out_specs=pl.BlockSpec(
             (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        out_shape=_sds((1, Rp), jnp.int32, rays_k),
         interpret=interpret,
     )(rays_k, w_k)
     idx = idx[0, :R]
@@ -544,7 +555,7 @@ def nearest_shade2(
         out_specs=pl.BlockSpec(
             (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        out_shape=_sds((1, Rp), jnp.int32, rays_k),
         interpret=interpret,
     )(rays_k, wf_k)
     idx = idx[0, :R]
@@ -935,7 +946,7 @@ def nearest_shade_streamed(
         out_specs=pl.BlockSpec(
             (1, ray_tile), lambda i, c: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        out_shape=_sds((1, Rp), jnp.int32, rays_k),
         scratch_shapes=[
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best t carry
             pltpu.VMEM((1, ray_tile), jnp.int32),  # best index carry
@@ -1211,9 +1222,9 @@ def nearest_shade_full(
             pl.BlockSpec((32, ray_tile), lambda i, c: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-            jax.ShapeDtypeStruct((4, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((32, Rp), jnp.float32),
+            _sds((1, Rp), jnp.int32, rays),
+            _sds((4, Rp), jnp.float32, rays),
+            _sds((32, Rp), jnp.float32, rays),
         ),
         scratch_shapes=[
             pltpu.VMEM(
@@ -1603,7 +1614,7 @@ def nearest_shade_culled(
         out_specs=pl.BlockSpec(
             (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        out_shape=_sds((1, Rp), jnp.int32, rays_k),
         interpret=interpret,
     )(rays_k, rays, live_f, w_k, clo, chi)
     idx = idx[0, :R]

@@ -65,6 +65,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_pallas import (
     _BIG,
+    _sds,
     _RAY_TILE,
     _bf16_split3,
     _recompute_winner,
@@ -453,9 +454,9 @@ def nearest_shade_traverse(
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-            jax.ShapeDtypeStruct((4, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((32, Rp), jnp.float32),
+            _sds((1, Rp), jnp.int32, rays),
+            _sds((4, Rp), jnp.float32, rays),
+            _sds((32, Rp), jnp.float32, rays),
         ),
         scratch_shapes=[
             pltpu.VMEM((K, ray_tile), jnp.bfloat16),  # packed rays

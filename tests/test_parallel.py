@@ -102,3 +102,22 @@ def test_train_step_reduces_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_sharded_pass_megakernel_matches_brute():
+    """The Pallas megakernel must run inside the shard_map SPMD body
+    (the real multi-chip configuration) and reproduce the brute path's
+    image exactly — same keys, same decisions, same estimator."""
+    from montecarlopathtracer_tpu.render.integrator import TraceConfig as TC
+
+    scene, cam = cornell.cornell_box(width=16, height=16)
+    mesh = make_mesh(4, 2)
+    cfg_m = TC(max_depth=2, ray_chunk=0, intersector="megakernel",
+               pallas_interpret=True)
+    f_m = sharded_sample_pass(mesh, width=16, height=16, spp=4, config=cfg_m)
+    f_b = sharded_sample_pass(mesh, width=16, height=16, spp=4, config=CFG)
+    img_m = np.asarray(f_m(scene, cam, jax.random.key(0)))
+    img_b = np.asarray(f_b(scene, cam, jax.random.key(0)))
+    assert np.isfinite(img_m).all()
+    close = np.isclose(img_m, img_b, rtol=1e-4, atol=1e-5).mean()
+    assert close > 0.99, close
