@@ -84,7 +84,8 @@ def main():
     t0 = time.perf_counter()
     r.render(1)
     sync()
-    print(f"warmup pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    warmup_s = time.perf_counter() - t0
+    print(f"warmup pass: {warmup_s:.1f}s", file=sys.stderr)
 
     from montecarlopathtracer_tpu.utils.profiling import trace
 
@@ -169,6 +170,7 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round(msamples_s / BASELINE_MSAMPLES_S, 3),
         "fwd_msamples_s": round(msamples_s, 3),
+        "warmup_s": round(warmup_s, 1),
     }
     if fwdbwd_msamples_s is not None:
         record["fwdbwd_msamples_s"] = round(fwdbwd_msamples_s, 3)
