@@ -131,6 +131,10 @@ def main():
         gcfg = TraceConfig(
             mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
             intersector=os.environ.get("BENCH_GRAD_INTERSECTOR", "megakernel"),
+            # Store per-segment residuals instead of replaying the
+            # kernel in the backward: measured 2.60 vs 1.95 Msamples/s
+            # fwd+bwd (~130 MB/segment of HBM at this frame size).
+            remat_segments=False,
         )
         target = jnp.zeros((height, width, 3), jnp.float32)
         loss_fn = make_loss_fn(

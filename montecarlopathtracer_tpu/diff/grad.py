@@ -92,9 +92,20 @@ def render_image(
         )
         return acc + img, None
 
-    total, _ = jax.lax.scan(
-        one, jnp.zeros((height, width, 3), jnp.float32), jnp.arange(spp)
-    )
+    if spp <= 8:
+        # Unrolled: wrapping the (already-checkpointed) segment scan in
+        # a second scan and differentiating crashes the TPU worker with
+        # a kernel fault when the segment intersector is a Pallas call
+        # (observed on v5e; scan-free programs are fine). Small spp
+        # unrolls cheaply; large spp keeps the scan (use spp=1..8 per
+        # step and average outside when differentiating on TPU).
+        total = jnp.zeros((height, width, 3), jnp.float32)
+        for i in range(spp):
+            total, _ = one(total, i)
+    else:
+        total, _ = jax.lax.scan(
+            one, jnp.zeros((height, width, 3), jnp.float32), jnp.arange(spp)
+        )
     return total / spp
 
 

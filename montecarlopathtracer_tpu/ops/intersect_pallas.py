@@ -1263,8 +1263,14 @@ def _recompute_winner(rows, idx, pos3, dir3):
     hit = idx >= 0
     hitf = hit.astype(jnp.float32)
     tid = jnp.maximum(idx, 0)
-    g = rows[tid, :12].T  # (12, R)
-    s = rows[tid, 12:44].T  # (32, R)
+    # ONE full-width row gather, sliced afterwards. Gathering partial
+    # rows (``rows[tid, :12]``) hits a pathological XLA-TPU gather
+    # lowering: measured 1965 ms vs 10 ms for the full-row form at
+    # R=480k — a 200× difference that round 3 initially shipped as a
+    # 75×-too-slow gradient path.
+    full = rows[tid]  # (R, 48)
+    g = full[:, :12].T  # (12, R)
+    s = full[:, 12:44].T  # (32, R)
     o, d = pos3, dir3
 
     def prime(base):

@@ -137,6 +137,12 @@ class TraceConfig:
     # 1.5x WIN everywhere else: scene2 5.4 vs 3.6, glossy 7.1 vs 4.9,
     # 82k-tri bunny 0.155 vs 0.104. Off by default; turn on (with
     # ray_sort) for anything bigger or more open than a Cornell box.
+    remat_segments: bool = True  # jax.checkpoint the scan body: the
+    # backward pass REPLAYS each segment (re-running its intersection
+    # kernel) instead of storing residuals — ~2x kernel work in
+    # fwd+bwd for minimal memory. False stores per-segment residuals
+    # (~130 MB per 480k-ray segment): faster gradients when HBM
+    # allows.
     pallas_interpret: bool = False  # interpreter mode for CPU tests
 
     @property
@@ -209,8 +215,14 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         exact = config.kernel_precision != "default"
         terms = 2 if config.kernel_precision == "high" else 3
         # Streamed-kernel chunk: finer chunks cull better (tighter
-        # Morton AABBs), coarser ones amortize per-chunk overhead.
-        sc = config.stream_chunk or (128 if (config.chunk_cull or traverse) else 256)
+        # Morton AABBs), coarser ones amortize per-chunk overhead
+        # (512 measured 7% faster than 256 on the brute path, r3).
+        sc = config.stream_chunk or (128 if (config.chunk_cull or traverse) else 512)
+        # Ray tile: bigger tiles amortize per-tile fixed cost on the
+        # brute streamed path (2048 measured 17% faster than 512 at
+        # Cornell scale) but coarsen the per-tile frustum for the
+        # culling/traversal paths — those keep 512.
+        default_rt = 512 if (config.chunk_cull or traverse) else 2048
         if config.ray_tile and config.ray_tile % 128:
             raise ValueError(
                 f"ray_tile must be a multiple of the TPU lane width 128, "
@@ -248,9 +260,9 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         def intersect_shade(pos3, dir3, live=None):
             if live is None:
                 live = jnp.ones((pos3.shape[1],), bool)
-            kw = {}
-            if config.ray_tile:
-                kw["ray_tile"] = config.ray_tile
+            # Don't blow a small wavefront up to the big default tile.
+            r512 = -(-pos3.shape[1] // 512) * 512
+            kw = {"ray_tile": config.ray_tile or min(default_rt, r512)}
             if traverse:
                 idx, tbg, shade = nearest_shade_traverse_diff(
                     ws, rows_t, pos3, dir3, live, clo, chi,
@@ -490,8 +502,9 @@ def trace_radiance_soa(
     )
     if vary_axes:
         init = jax.tree.map(lambda x: _pcast_missing(x, vary_axes), init)
+    body = jax.checkpoint(segment) if config.remat_segments else segment
     (pos, dir_, tput, result, active, rid), _ = jax.lax.scan(
-        jax.checkpoint(segment), init, jnp.arange(n_seg)
+        body, init, jnp.arange(n_seg)
     )
     if use_sort:
         # Scatter back to original ray order (unique indices).

@@ -72,6 +72,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default="")
+    ap.add_argument("--append", action="store_true",
+                    help="merge results into an existing BENCH_SCENES.json "
+                    "by config name (bank partial sweeps incrementally)")
     ap.add_argument("--kdtree", action="store_true", default=True,
                     help="include the lax KD-traversal oracle (slow; "
                     "on by default so the committed matrix has a real "
@@ -160,15 +163,27 @@ def main() -> int:
                   flush=True)
             results.append({"config": row[0], "error": str(e)[:200]})
 
-    out = {
-        "backend": jax.default_backend(),
-        "reference_anchor": {
-            "scene1_gtx1070_msamples_s": 2.4,
-            "scene2_gtx1070_msamples_s": 1.4,
-        },
-        "results": results,
-    }
-    with open(os.path.join(ROOT, "BENCH_SCENES.json"), "w") as f:
+    path = os.path.join(ROOT, "BENCH_SCENES.json")
+    if args.append and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+        by_name = {r.get("config"): i for i, r in enumerate(out["results"])}
+        for r in results:
+            if r.get("config") in by_name:
+                out["results"][by_name[r["config"]]] = r
+            else:
+                out["results"].append(r)
+        out["backend"] = jax.default_backend()
+    else:
+        out = {
+            "backend": jax.default_backend(),
+            "reference_anchor": {
+                "scene1_gtx1070_msamples_s": 2.4,
+                "scene2_gtx1070_msamples_s": 1.4,
+            },
+            "results": results,
+        }
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     return 0
 
