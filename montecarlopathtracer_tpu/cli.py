@@ -232,7 +232,11 @@ def main(argv=None) -> int:
     intersector = args.intersector
     if intersector == "auto":
         if jax.default_backend() == "tpu":
-            intersector = "traverse" if open_or_large else "megakernel"
+            # Measured crossover (BENCH_SCENES r3): the traversal walk
+            # loses to the plain streamed megakernel below ~10k
+            # triangles (its per-segment sort + per-tile walk overhead
+            # outweighs the chunk skipping) and wins big above it.
+            intersector = "traverse" if num_tris >= 10000 else "megakernel"
         else:
             intersector = "brute"
     ray_chunk = resolve_ray_chunk(args.ray_chunk, intersector)

@@ -1400,7 +1400,17 @@ def ray_sort_keys(
         | ((dir3[1] > 0).astype(jnp.uint32) << 1)
         | ((dir3[2] > 0).astype(jnp.uint32) << 2)
     )
-    return ((mx | (my << 1) | (mz << 2)) << 3) | octant
+    morton = mx | (my << 1) | (mz << 2)  # 27 bits
+    # Key layout [coarse origin 15b | octant 3b | fine origin 12b]:
+    # the octant sits ABOVE the fine origin bits, so a kernel tile is
+    # "rays from one coarse cell going the same way" rather than "rays
+    # from one fine cell going every way" — a patch × octant frustum
+    # reaches ~8× fewer chunks than a patch × hemisphere one, which is
+    # what the traversal kernel's per-tile lists feed on (bounce
+    # wavefronts; primary rays share the octant anyway).
+    coarse = morton >> 12  # top 15 bits
+    fine = morton & jnp.uint32(0xFFF)
+    return (coarse << 15) | (octant << 12) | fine
 
 
 def morton_order(

@@ -9,17 +9,17 @@ scattered leaf gathers.
 
 This kernel is the TPU-shaped equivalent, built on three observations:
 
-1. With Morton-ordered triangles, fixed 128-triangle chunks have tight
-   AABBs — a chunk is the TPU analog of a KD leaf, and an MXU
-   contraction over it is cheaper than any per-lane pruning *of* it.
+1. With Morton-ordered triangles, fixed chunks have tight AABBs — a
+   chunk is the TPU analog of a KD leaf, and an MXU contraction over it
+   is cheaper than any per-lane pruning *of* it.
 2. With Morton-sorted rays (ops.intersect_pallas.ray_sort_keys), a
-   512-ray kernel tile is spatially/directionally coherent — so
-   traversal decisions can be made ONCE PER TILE (scalar control flow)
-   instead of once per ray (lane divergence). The tile, not the ray, is
-   the traversal agent.
+   kernel ray tile is spatially/directionally coherent — so traversal
+   decisions can be made ONCE PER TILE (scalar control flow) instead of
+   once per ray (lane divergence). The tile, not the ray, is the
+   traversal agent.
 3. The v4 streamed megakernel is DMA-bound at scene scale: every ray
    tile re-streams every packed triangle chunk each segment (82k-tri
-   bunny: ~32 MB × ~2000 tiles × 8 segments per 1-spp pass). Culling
+   bunny: ~32 MB × ~1000 tiles × 8 segments per 1-spp pass). Culling
    compute under `pl.when` does not help — the automatic pipeline
    still fetches every block. Beating it requires skipping the DMA
    itself, which means *manual* double-buffered DMA.
@@ -34,24 +34,35 @@ Per (ray tile, path segment) the traversal is:
   per tile: the tile's personal traversal list.
 - KERNEL (one grid step per tile): walk the list with manually
   double-buffered HBM→VMEM DMA. Per visited chunk: per-lane slab test
-  against the *current* best-t (skips compute), the v4 chunk body
-  (K-packed exact contraction, division-free accept, one-hot winner
-  row fetch), then an early-exit check — because the list is sorted by
-  ``tmin`` and ``tmin`` lower-bounds any hit in the remaining chunks,
-  the walk stops as soon as every live lane's best-t is below the next
-  chunk's ``tmin``. Stopping means the remaining chunks are neither
-  computed NOR FETCHED — the O(log)-ish work profile of tree
-  traversal, with none of its divergence.
+  against the *current* best-t (skips compute), the K-packed exact
+  contraction + division-free accept, best-(t, index) update, then an
+  early-exit check — because the list is sorted by ``tmin`` and
+  ``tmin`` lower-bounds any hit in the remaining chunks, the walk
+  stops as soon as every live lane's best-t is below the next chunk's
+  ``tmin``. Stopping means the remaining chunks are neither computed
+  NOR FETCHED — the O(log)-ish work profile of tree traversal, with
+  none of its divergence.
+- EPILOGUE (XLA): the kernel is SELECTION-ONLY — it returns the winner
+  index per lane; exact f32 (t, β, γ) and the 48-value geometry+shading
+  row come from ONE full-width row gather + Cramer recompute
+  (`intersect_pallas._recompute_winner`). v4 moved this into the kernel
+  as a per-chunk one-hot matmul to avoid gathers, which is the right
+  call in the resident/streamed regime (every chunk visited once per
+  tile anyway) — but a traversal walk visits ~10% of chunks and pays
+  the winner machinery per VISIT, while the epilogue pays one gather
+  per RAY per segment (~10 ms at 480k rays in the full-row form).
+  Selection-only also halves the walk's DMA (no rows stream) and makes
+  differentiation free: the index is piecewise-constant (stop_gradient)
+  and AD flows through the recompute — no custom_vjp needed.
 
 Correctness does not depend on the frustum/ordering heuristics: a
 chunk is only skipped when NO ray in the tile can produce a nearer
 accepted hit in it (conservative interval tests + the sorted-tmin
-bound). Output contract and accept math are identical to
-`nearest_shade_full` (v4); like every cull-family kernel, returned
-triangle indices live in the Morton-permuted order and exact-t ties
-between triangles in *different* chunks may resolve differently per
-tile (measure-zero; shared mesh edges are rejected by the open β/γ
-tests on both sides).
+bound). Accept math is identical to `nearest_shade_full`; like every
+cull-family kernel, returned triangle indices live in the
+Morton-permuted order and exact-t ties between triangles in
+*different* chunks may resolve differently per tile (measure-zero;
+shared mesh edges are rejected by the open β/γ tests on both sides).
 """
 
 from __future__ import annotations
@@ -65,10 +76,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_pallas import (
     _BIG,
-    _sds,
     _RAY_TILE,
-    _bf16_split3,
     _recompute_winner,
+    _sds,
     _split_cat,
     _soa_rays,
 )
@@ -148,24 +158,14 @@ def _traverse_kernel(
     rays_ref,  # VMEM (8, Rt) f32 [o | 1 | d | 0]
     live_ref,  # VMEM (1, Rt) f32
     ws_ref,  # ANY (8, T_pad·6) f32 — streamed transform chunks
-    rows_ref,  # ANY (48, T_pad) f32 — rows TRANSPOSED: chunk slices run
-    # along the 128-lane axis (Mosaic requires 128-aligned DMA slices;
-    # a (tc, 48) slice of the v4 layout is lane-misaligned)
     clo_ref,  # SMEM (nc, 3) f32 chunk AABB lows
     chi_ref,  # SMEM (nc, 3) f32 chunk AABB highs
-    idx_ref,  # out VMEM (1, Rt) i32
-    tbg_ref,  # out VMEM (4, Rt) f32
-    shade_ref,  # out VMEM (32, Rt) f32
+    idx_ref,  # out VMEM (1, Rt) i32 — winner index (selection only)
     rk_ref,  # scratch VMEM (K, Rt) bf16 packed rays
     ws_buf,  # scratch VMEM (2, 8, 6·tc) f32
-    rows_buf,  # scratch VMEM (2, tc, 48) f32
     bt_ref,  # scratch VMEM (1, Rt) f32 best t
     bi_ref,  # scratch VMEM (1, Rt) i32 best index
-    bb_ref,  # scratch VMEM (1, Rt) f32 best beta
-    bg_ref,  # scratch VMEM (1, Rt) f32 best gamma
-    brow_ref,  # scratch VMEM (48, Rt) f32 best row
     sem_ws,  # DMA((2,))
-    sem_rows,  # DMA((2,))
     *,
     t_chunk: int,
     exact: bool,
@@ -186,9 +186,6 @@ def _traverse_kernel(
     live = live_ref[0, :] > 0.0
     bt_ref[0, :] = jnp.full((Rt,), _BIG, jnp.float32)
     bi_ref[0, :] = jnp.full((Rt,), 2**31 - 1, jnp.int32)
-    bb_ref[0, :] = jnp.zeros((Rt,), jnp.float32)
-    bg_ref[0, :] = jnp.zeros((Rt,), jnp.float32)
-    brow_ref[:] = jnp.zeros_like(brow_ref)
 
     def ws_dma(slot, j):
         return pltpu.make_async_copy(
@@ -197,31 +194,20 @@ def _traverse_kernel(
             sem_ws.at[slot],
         )
 
-    def rows_dma(slot, j):
-        return pltpu.make_async_copy(
-            rows_ref.at[:, pl.ds(j * tc, tc)],
-            rows_buf.at[slot],
-            sem_rows.at[slot],
-        )
-
-    def issue(slot, j):
-        ws_dma(slot, j).start()
-        rows_dma(slot, j).start()
-
     def ord_at(p):
         # Clamped traversal-list read: positions past the list's end
         # re-fetch the last chunk. This makes EVERY DMA unconditional —
         # each loop iteration waits one slot and prefetches one slot,
         # so exactly two copies are outstanding at every loop boundary
         # on every control path (drained by the two waits at the end).
-        # A clamped prefetch is a harmless ~100 KB over-read per tile;
+        # A clamped prefetch is a harmless ~50 KB over-read per tile;
         # conditional starts, by contrast, are both a deadlock risk
         # (semaphore imbalance leaks into later grid steps) and
         # unsupported by the interpreter's DMA emulation.
         return ord_ref[row, jnp.minimum(p, nc - 1)]
 
-    issue(0, ord_at(0))
-    issue(1, ord_at(1))
+    ws_dma(0, ord_at(0)).start()
+    ws_dma(1, ord_at(1)).start()
 
     def reach_lanes(j, tmax):
         """Per-lane segment-vs-AABB slab test for chunk j (f32 VPU)."""
@@ -256,7 +242,8 @@ def _traverse_kernel(
         return (tn <= tf) & (tf >= 0.0) & (tn < tmax) & live
 
     def compute_chunk(slot, j):
-        """The v4 chunk body against the slot's VMEM buffers."""
+        """Selection-only chunk body: K-packed contraction +
+        division-free accept + best-(t, index) update."""
         ws_blk = ws_buf[slot]  # (8, 6·tc) f32
         w_k = (
             _split_cat(ws_blk, 0, "hhll", terms)
@@ -290,35 +277,14 @@ def _traverse_kernel(
             axis=0,
         )
         better = c_min < bt_ref[0, :]
-        win = (col == c_idx[None, :]) & better[None, :]
-        rows_blk = rows_buf[slot]  # (48, tc) f32 (transposed layout)
-        onehot = win.astype(jnp.bfloat16)
-        if exact:
-            h, l1, l2 = _bf16_split3(rows_blk)
-            rows_k = jnp.concatenate([h, l1, l2], axis=1)  # (48, 3·tc)
-            onehot = jnp.concatenate([onehot] * 3, axis=0)
-        else:
-            rows_k = rows_blk.astype(jnp.bfloat16)
-        row_c = jax.lax.dot_general(
-            rows_k,
-            onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (48, Rt)
-        b_c = jnp.sum(jnp.where(win, beta, 0.0), axis=0)
-        g_c = jnp.sum(jnp.where(win, gamma, 0.0), axis=0)
         bt_ref[0, :] = jnp.where(better, c_min, bt_ref[0, :])
         bi_ref[0, :] = jnp.where(better, c_idx + j * tc, bi_ref[0, :])
-        bb_ref[0, :] = jnp.where(better, b_c, bb_ref[0, :])
-        bg_ref[0, :] = jnp.where(better, g_c, bg_ref[0, :])
-        brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
 
     def body(carry):
         p, n_stop = carry
         slot = jax.lax.rem(p, 2)
         j = ord_at(p)
         ws_dma(slot, j).wait()
-        rows_dma(slot, j).wait()
 
         do = jnp.any(reach_lanes(j, bt_ref[0, :]))
         jax.lax.cond(do, lambda: compute_chunk(slot, j), lambda: None)
@@ -335,7 +301,7 @@ def _traverse_kernel(
             n_stop,
         )
 
-        issue(slot, ord_at(p + 2))  # unconditional prefetch (see ord_at)
+        ws_dma(slot, ord_at(p + 2)).start()  # unconditional prefetch
         return (p + 1, n_stop)
 
     p_end, _ = jax.lax.while_loop(
@@ -345,27 +311,19 @@ def _traverse_kernel(
     # Drain the two outstanding prefetches (positions p_end, p_end+1 —
     # possibly clamped duplicates; the waits match by copy size).
     ws_dma(jax.lax.rem(p_end, 2), ord_at(p_end)).wait()
-    rows_dma(jax.lax.rem(p_end, 2), ord_at(p_end)).wait()
     ws_dma(jax.lax.rem(p_end + 1, 2), ord_at(p_end + 1)).wait()
-    rows_dma(jax.lax.rem(p_end + 1, 2), ord_at(p_end + 1)).wait()
 
-    hit = bt_ref[0, :] < _BIG
-    hitf = hit.astype(jnp.float32)
-    idx_ref[0, :] = jnp.where(hit, bi_ref[0, :], jnp.int32(-1))
-    tbg_ref[0, :] = jnp.where(hit, bt_ref[0, :], _BIG)
-    tbg_ref[1, :] = bb_ref[0, :] * hitf
-    tbg_ref[2, :] = bg_ref[0, :] * hitf
-    tbg_ref[3, :] = hitf
-    shade_ref[:] = brow_ref[12:44, :] * hitf[None, :]
+    idx_ref[0, :] = jnp.where(
+        bt_ref[0, :] < _BIG, bi_ref[0, :], jnp.int32(-1)
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ray_tile", "t_chunk", "interpret", "exact", "terms"),
 )
-def nearest_shade_traverse(
+def traverse_select(
     ws: jnp.ndarray,  # f32[8, T_pad*6] (pack_transforms_stream, Morton)
-    rows_t: jnp.ndarray,  # f32[48, T_pad] (pack_rows_full(...).T)
     clo: jnp.ndarray,  # f32[nc, 3] chunk AABB lows (same order)
     chi: jnp.ndarray,  # f32[nc, 3] chunk AABB highs
     pos3: jnp.ndarray,  # f32[3, R]
@@ -377,21 +335,18 @@ def nearest_shade_traverse(
     interpret: bool = False,
     exact: bool = True,
     terms: int = 3,
-):
-    """Traversal megakernel (v5): v4's outputs at tree-traversal cost.
+) -> jnp.ndarray:
+    """Selection-only traversal walk: winner index i32[R] (−1 = miss),
+    in the caller's (Morton-permuted) triangle order.
 
-    Same output contract as `nearest_shade_full` — (idx i32[R],
-    tbg f32[4, R] = [t, β, γ, hit], shade f32[32, R]) with idx in the
-    caller's (Morton-permuted) triangle order. SMEM bounds the chunk
-    count: order+tmin (8·nc·8 B) + boxes (nc·24 B) ⇒ ~1M triangles at
-    tc=128; coarsen ``t_chunk`` beyond that.
+    SMEM bounds the chunk count: order+tmin (8·nc·8 B) + boxes
+    (nc·24 B) ⇒ ~1M triangles at tc=128; coarsen ``t_chunk`` beyond
+    that.
     """
     R = pos3.shape[1]
     K_T6 = ws.shape[1]
     assert K_T6 % (6 * t_chunk) == 0, (K_T6, t_chunk)
     nc = K_T6 // (6 * t_chunk)
-    T_pad = K_T6 // 6
-    assert rows_t.shape == (48, T_pad), (rows_t.shape, K_T6)
     assert clo.shape == (nc, 3) and chi.shape == (nc, 3), (clo.shape, nc)
     if live is None:
         live = jnp.ones((R,), jnp.float32)
@@ -416,7 +371,7 @@ def nearest_shade_traverse(
     )
 
     K = (48 if terms == 3 else 24) if exact else 8
-    idx, tbg, shade = pl.pallas_call(
+    idx = pl.pallas_call(
         functools.partial(
             _traverse_kernel, t_chunk=t_chunk, exact=exact, terms=terms
         ),
@@ -438,93 +393,59 @@ def nearest_shade_traverse(
                 (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # ws (stays in HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # rows
             pl.BlockSpec(memory_space=pltpu.SMEM),  # clo
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chi
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (4, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (32, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
+        out_specs=pl.BlockSpec(
+            (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            _sds((1, Rp), jnp.int32, rays),
-            _sds((4, Rp), jnp.float32, rays),
-            _sds((32, Rp), jnp.float32, rays),
-        ),
+        out_shape=_sds((1, Rp), jnp.int32, rays),
         scratch_shapes=[
             pltpu.VMEM((K, ray_tile), jnp.bfloat16),  # packed rays
             pltpu.VMEM((2, 8, 6 * t_chunk), jnp.float32),  # ws double buf
-            pltpu.VMEM((2, 48, t_chunk), jnp.float32),  # rows double buf
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best t
             pltpu.VMEM((1, ray_tile), jnp.int32),  # best index
-            pltpu.VMEM((1, ray_tile), jnp.float32),  # best beta
-            pltpu.VMEM((1, ray_tile), jnp.float32),  # best gamma
-            pltpu.VMEM((48, ray_tile), jnp.float32),  # best row
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(n_reach, order, tmins, rays, live_f, ws, rows_t, clo, chi)
-    return idx[0, :R], tbg[:, :R], shade[:, :R]
+    )(n_reach, order, tmins, rays, live_f, ws, clo, chi)
+    return idx[0, :R]
 
 
-@functools.lru_cache(maxsize=None)
-def _make_diff_traverse(ray_tile, t_chunk, interpret, exact, terms=3):
-    """Differentiable wrapper around `nearest_shade_traverse` — same
-    argmin-differentiation scheme as
-    `intersect_pallas._make_diff_megakernel`: forward is the traversal
-    kernel, backward is the vjp of the exact winner-row recompute at
-    the kernel-chosen indices (geometry gradients route through the
-    rows table; ``ws``/boxes get zero cotangent)."""
-
-    @jax.custom_vjp
-    def f(ws, rows_t, pos3, dir3, live, clo, chi):
-        return nearest_shade_traverse(
-            ws, rows_t, clo, chi, pos3, dir3, live,
-            ray_tile=ray_tile, t_chunk=t_chunk,
-            interpret=interpret, exact=exact, terms=terms,
-        )
-
-    def fwd(ws, rows_t, pos3, dir3, live, clo, chi):
-        idx, tbg, shade = f(ws, rows_t, pos3, dir3, live, clo, chi)
-        return (idx, tbg, shade), (idx, rows_t, pos3, dir3, live, clo, chi)
-
-    def bwd(res, cts):
-        idx, rows_t, pos3, dir3, live, clo, chi = res
-        _, ct_tbg, ct_shade = cts  # idx is int: cotangent is float0
-        _, vjp = jax.vjp(
-            lambda rt, p, d: _recompute_winner(rt.T, idx, p, d),
-            rows_t, pos3, dir3,
-        )
-        d_rows_t, d_pos, d_dir = vjp((ct_tbg, ct_shade))
-        return (
-            jnp.zeros((8, rows_t.shape[1] * 6), rows_t.dtype),
-            d_rows_t, d_pos, d_dir,
-            jnp.zeros_like(live), jnp.zeros_like(clo), jnp.zeros_like(chi),
-        )
-
-    f.defvjp(fwd, bwd)
-    return f
-
-
-def nearest_shade_traverse_diff(
-    ws, rows_t, pos3, dir3, live=None, clo=None, chi=None, *,
+def nearest_shade_traverse(
+    ws, rows, clo, chi, pos3, dir3, live=None, *,
     ray_tile: int = _RAY_TILE, t_chunk: int = 128,
     interpret: bool = False, exact: bool = True, terms: int = 3,
 ):
-    """`nearest_shade_traverse` with a.e.-correct gradients."""
-    if live is None:
-        live = jnp.ones((pos3.shape[1],), jnp.float32)
-    return _make_diff_traverse(ray_tile, t_chunk, interpret, exact, terms)(
-        ws, rows_t, pos3, dir3, live, clo, chi
+    """Traversal intersector: selection walk + differentiable epilogue.
+
+    ``rows`` is the (T_pad, 48) `pack_rows_full` table (same Morton
+    order as ``ws``). Returns (idx i32[R], tbg f32[4, R], shade
+    f32[32, R]) — the same contract as `nearest_shade_full`. Gradients
+    w.r.t. the rows (→ vertices/normals/materials) and the ray
+    origin/direction flow through `_recompute_winner`'s full-row gather
+    + Cramer recompute; the argmin index is piecewise-constant and
+    detached — no custom_vjp needed.
+    """
+    idx = jax.lax.stop_gradient(
+        traverse_select(
+            jax.lax.stop_gradient(ws),
+            jax.lax.stop_gradient(clo),
+            jax.lax.stop_gradient(chi),
+            jax.lax.stop_gradient(pos3),
+            jax.lax.stop_gradient(dir3),
+            None if live is None else jax.lax.stop_gradient(live),
+            ray_tile=ray_tile, t_chunk=t_chunk,
+            interpret=interpret, exact=exact, terms=terms,
+        )
     )
+    tbg, shade = _recompute_winner(rows, idx, pos3, dir3)
+    return idx, tbg, shade
+
+
+# The selection-only design is differentiable as-is; keep the old name
+# as an alias so callers don't need to distinguish.
+nearest_shade_traverse_diff = nearest_shade_traverse

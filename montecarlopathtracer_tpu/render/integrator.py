@@ -215,14 +215,22 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         exact = config.kernel_precision != "default"
         terms = 2 if config.kernel_precision == "high" else 3
         # Streamed-kernel chunk: finer chunks cull better (tighter
-        # Morton AABBs), coarser ones amortize per-chunk overhead
-        # (512 measured 7% faster than 256 on the brute path, r3).
-        sc = config.stream_chunk or (128 if (config.chunk_cull or traverse) else 512)
-        # Ray tile: bigger tiles amortize per-tile fixed cost on the
-        # brute streamed path (2048 measured 17% faster than 512 at
-        # Cornell scale) but coarsen the per-tile frustum for the
-        # culling/traversal paths — those keep 512.
-        default_rt = 512 if (config.chunk_cull or traverse) else 2048
+        # Morton AABBs), coarser ones amortize per-chunk overhead.
+        # Measured r3 (BENCH_SCENES): brute path fastest at 512;
+        # traversal at 256 (bunny 0.50 vs 0.45 at 128); cull keeps 128.
+        if config.stream_chunk:
+            sc = config.stream_chunk
+        elif config.chunk_cull:
+            sc = 128
+        elif traverse:
+            sc = 256
+        else:
+            sc = 512
+        # Ray tile: bigger tiles amortize per-tile fixed cost (brute:
+        # 2048 measured 17% faster than 512) and, for the traversal
+        # walk, amortize per-visit DMA/overhead faster than the coarser
+        # per-tile frustum costs (bunny 0.52 at 2048 vs 0.39 at 512).
+        default_rt = 512 if config.chunk_cull else 2048
         if config.ray_tile and config.ray_tile % 128:
             raise ValueError(
                 f"ray_tile must be a multiple of the TPU lane width 128, "
@@ -255,8 +263,6 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         if traverse:
             from ..ops.traverse_pallas import nearest_shade_traverse_diff
 
-            rows_t = rows.T
-
         def intersect_shade(pos3, dir3, live=None):
             if live is None:
                 live = jnp.ones((pos3.shape[1],), bool)
@@ -265,7 +271,7 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             kw = {"ray_tile": config.ray_tile or min(default_rt, r512)}
             if traverse:
                 idx, tbg, shade = nearest_shade_traverse_diff(
-                    ws, rows_t, pos3, dir3, live, clo, chi,
+                    ws, rows, clo, chi, pos3, dir3, live,
                     t_chunk=sc,
                     interpret=config.pallas_interpret,
                     exact=exact,
@@ -404,12 +410,34 @@ def trace_radiance_soa(
             # TraceConfig.ray_sort). Paths are unchanged: rays keep
             # their id and draw their OWN random streams below, so the
             # estimator is bit-identical to the unsorted trace.
-            perm = jnp.argsort(ray_sort_keys(pos, dir_, aabb_lo, aabb_hi))
-            pos, dir_, tput, result = (
-                pos[:, perm], dir_[:, perm], tput[:, perm], result[:, perm]
+            # Terminated rays sort to the END: they compact into
+            # all-dead kernel tiles, which the traversal kernel skips
+            # at n_reach=0 cost — free wavefront compaction.
+            # ONE multi-payload lax.sort carries all 13 state rows with
+            # the key: measured 13.9 ms vs 76 ms for argsort + six
+            # permutation gathers at R=1M (each XLA gather pays ~12 ms
+            # of per-element addressing regardless of row width).
+            skeys = ray_sort_keys(pos, dir_, aabb_lo, aabb_hi)
+            skeys = jnp.where(active, skeys, jnp.uint32(0xFFFFFFFF))
+            sorted_ = jax.lax.sort(
+                (
+                    skeys,
+                    pos[0], pos[1], pos[2],
+                    dir_[0], dir_[1], dir_[2],
+                    tput[0], tput[1], tput[2],
+                    result[0], result[1], result[2],
+                    active.astype(jnp.uint8),
+                    rid,
+                ),
+                dimension=0,
+                num_keys=1,
             )
-            active = active[perm]
-            rid = rid[perm]
+            pos = jnp.stack(sorted_[1:4], axis=0)
+            dir_ = jnp.stack(sorted_[4:7], axis=0)
+            tput = jnp.stack(sorted_[7:10], axis=0)
+            result = jnp.stack(sorted_[10:13], axis=0)
+            active = sorted_[13] > 0
+            rid = sorted_[14]
 
         def draw(sid):
             u = stream_uniform(key, sid, (R,))

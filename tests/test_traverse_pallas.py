@@ -28,9 +28,9 @@ def _packs(scene, sc=128):
     ws = ip.pack_transforms_stream(
         m[perm], m_a[perm], scene.tri_valid[perm], sc
     )
-    rows_t = ip.pack_rows_full(m[perm], m_a[perm], scene, sc, perm=perm).T
+    rows = ip.pack_rows_full(m[perm], m_a[perm], scene, sc, perm=perm)
     clo, chi = ip.chunk_aabbs_padded(a, b, c, scene.tri_valid, perm, sc)
-    return (m[perm], m_a[perm], scene.tri_valid[perm]), ws, rows_t, clo, chi
+    return (m[perm], m_a[perm], scene.tri_valid[perm]), ws, rows, clo, chi
 
 
 def _random_rays(key, R, spread=4.0, y_off=6.0):
@@ -44,7 +44,7 @@ def _random_rays(key, R, spread=4.0, y_off=6.0):
 
 def test_traverse_matches_oracle_with_dead_lanes():
     scene, _ = glossy.glossy_steps(width=64, height=48)
-    (m, m_a, tv), ws, rows_t, clo, chi = _packs(scene)
+    (m, m_a, tv), ws, rows, clo, chi = _packs(scene)
     R = 1024
     pos3, dir3 = _random_rays(jax.random.key(2), R)
     live = (jax.random.uniform(jax.random.key(3), (R,)) > 0.15).astype(
@@ -52,7 +52,7 @@ def test_traverse_matches_oracle_with_dead_lanes():
     )
 
     idx, tbg, shade = tp.nearest_shade_traverse(
-        ws, rows_t, clo, chi, pos3, dir3, live, t_chunk=128, interpret=True
+        ws, rows, clo, chi, pos3, dir3, live, t_chunk=128, interpret=True
     )
     hit = intersect_brute(m, m_a, tv, pos3.T, dir3.T)
 
@@ -76,7 +76,7 @@ def test_tile_chunk_order_is_conservative():
     appear in that tile's traversal list with tmin ≤ the hit t —
     otherwise the early exit could skip a real hit."""
     scene, _ = glossy.glossy_steps(width=64, height=48)
-    (m, m_a, tv), ws, rows_t, clo, chi = _packs(scene)
+    (m, m_a, tv), ws, rows, clo, chi = _packs(scene)
     rt = 512
     R = 2 * rt
     pos3, dir3 = _random_rays(jax.random.key(9), R)

@@ -92,12 +92,12 @@ def main() -> int:
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
     def mk(intersector="megakernel", cull=False, sort=False, rt=0,
-           mode="fixed"):
+           mode="fixed", sc2=0):
         return TraceConfig(
             mode=mode, max_depth=7, illum=10.0 if mode == "fixed" else 1.0,
             rr_depth=5, ray_chunk=0,
             intersector=intersector, chunk_cull=cull, ray_sort=sort,
-            ray_tile=rt,
+            ray_tile=rt, stream_chunk=sc2,
         )
 
     if cornell.has_reference_scenes():
@@ -134,6 +134,10 @@ def main() -> int:
         ("glossy_traverse", sg, cg, mk("traverse", sort=True), 800, 600, spp, passes, None),
         ("bunny_traverse", sb, cb, mk("traverse", sort=True), 1024, 1024, bunny_spp, bunny_passes, None),
         ("bunny_traverse_rt1024", sb, cb, mk("traverse", sort=True, rt=1024), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_traverse_rt2048", sb, cb, mk("traverse", sort=True, rt=2048), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_traverse_tc256", sb, cb, mk("traverse", sort=True, rt=1024, sc2=256), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_traverse_tc256_rt2048", sb, cb, mk("traverse", sort=True, rt=2048, sc2=256), 1024, 1024, bunny_spp, bunny_passes, None),
+        ("bunny_traverse_tc512_rt2048", sb, cb, mk("traverse", sort=True, rt=2048, sc2=512), 1024, 1024, bunny_spp, bunny_passes, None),
         # RR termination mode (the MCRT backend's estimator; 16 segments
         # worst case) — VERDICT r2 missing #3
         ("scene1_rr_megakernel", s1, c1, mk(mode="rr"), 800, 600, spp, passes, None),
@@ -152,6 +156,14 @@ def main() -> int:
             ("scene1_kdtree_lax", s1, c1, mk("kdtree"), 256, 192, 1, 1, kd1)
         )
 
+    # Cull-mode rows last: their execution has hung the TPU worker in
+    # some sessions (runtime flakiness); everything before them banks.
+    plan = [
+        row
+        for _, row in sorted(
+            enumerate(plan), key=lambda t: ("_cull" in t[1][0], t[0])
+        )
+    ]
     results = []
     for row in plan:
         if args.only and args.only not in row[0]:
@@ -162,6 +174,15 @@ def main() -> int:
             print(json.dumps({"config": row[0], "error": str(e)[:200]}),
                   flush=True)
             results.append({"config": row[0], "error": str(e)[:200]})
+        _write(args, results)
+
+    _write(args, results)
+    return 0
+
+
+def _write(args, results):
+    import jax
+    import json as _json
 
     path = os.path.join(ROOT, "BENCH_SCENES.json")
     if args.append and os.path.exists(path):
@@ -185,7 +206,6 @@ def main() -> int:
         }
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    return 0
 
 
 if __name__ == "__main__":

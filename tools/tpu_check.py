@@ -270,9 +270,9 @@ def run_checks(write_golden: str | None = None) -> int:
         nearest_shade_traverse,
     )
 
-    rows_p_t = pack_rows_full(m[perm], m_a[perm], scene, 128, perm=perm).T
+    rows_p = pack_rows_full(m[perm], m_a[perm], scene, 128, perm=perm)
     idx_tv, tbg_tv, shade_tv = nearest_shade_traverse(
-        ws_p, rows_p_t, clo_s, chi_s, o.T, d.T, live, t_chunk=128,
+        ws_p, rows_p, clo_s, chi_s, o.T, d.T, live, t_chunk=128,
         exact=True,
     )
     idx_tvg = jnp.where(idx_tv >= 0, perm[jnp.maximum(idx_tv, 0)], -1)
