@@ -21,6 +21,11 @@ BASELINE_MSAMPLES_S = 2.4  # GTX 1070, MC.docx results table
 
 
 def main():
+    from montecarlopathtracer_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     from montecarlopathtracer_tpu.models import cornell
     from montecarlopathtracer_tpu.render.integrator import TraceConfig
     from montecarlopathtracer_tpu.render.renderer import (
@@ -132,9 +137,12 @@ def main():
             mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
             intersector=os.environ.get("BENCH_GRAD_INTERSECTOR", "megakernel"),
             # Store per-segment residuals instead of replaying the
-            # kernel in the backward: measured 2.60 vs 1.95 Msamples/s
-            # fwd+bwd (~130 MB/segment of HBM at this frame size).
+            # kernel in the backward (measured faster than remat at
+            # this frame size), and unroll the 8-segment scan so the
+            # residuals are plain buffers instead of per-step
+            # dynamic_update_slice stacking writes (PERF.md r4).
             remat_segments=False,
+            unroll_segments=True,
         )
         target = jnp.zeros((height, width, 3), jnp.float32)
         loss_fn = make_loss_fn(

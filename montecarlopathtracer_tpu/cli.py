@@ -98,8 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "on", "off"],
         default="auto",
         help="megakernel: Morton-order triangles and skip chunks no "
-        "live ray reaches. 'auto' = on for anything bigger or more "
-        "open than a Cornell box (measured rule, render/integrator.py)",
+        "live ray reaches. 'auto' = OFF (explicit opt-in only — the "
+        "traversal intersector subsumes it with chunk-DMA skipping and "
+        "compiles far faster); ignored when the intersector resolves "
+        "to 'traverse'",
     )
     p.add_argument(
         "--ray-sort",
@@ -107,13 +109,15 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         help="re-sort bounce wavefronts by (origin Morton, direction "
         "octant) each segment for kernel-tile coherence; bit-exact. "
-        "'auto' follows --chunk-cull",
+        "'auto' = on for scenes bigger/more open than a Cornell box "
+        "(>1200 tris) and always for the traversal intersector",
     )
     p.add_argument(
         "--ray-tile",
         type=int,
         default=0,
-        help="rays per megakernel grid tile (multiple of 128; 0 = 512)",
+        help="rays per megakernel grid tile (multiple of 128; 0 = "
+        "auto: 2048, or 512 with --chunk-cull on)",
     )
     p.add_argument(
         "--stream-chunk",
@@ -134,9 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--kernel-precision",
         choices=["highest", "high", "default"],
         default="highest",
-        help="in-kernel matmul precision: 'highest'/'high' = exact "
-        "3-term split-bf16 (default); 'default' = single-pass bf16 "
-        "(fast, flips ~2%% of winners near triangle edges)",
+        help="in-kernel matmul precision: 'highest' = 3-term split-bf16 "
+        "(K=48, ~f32); 'high' = 2-term split (K=24, half the MXU work, "
+        "gate-exact); 'default' = single-pass bf16 (fast, flips ~2%% "
+        "of winners near triangle edges)",
     )
     p.add_argument("--tonemap", choices=["linear", "gamma"], default="linear")
     p.add_argument(
@@ -196,6 +201,9 @@ def resolve_ray_chunk(requested, intersector: str) -> int:
 def main(argv=None) -> int:
     import jax
 
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     scene, camera = load_scene(args.scene, args.width, args.height)
     if args.eye is not None:
@@ -249,6 +257,12 @@ def main(argv=None) -> int:
     chunk_cull = tristate(args.chunk_cull, False) and (
         intersector == "megakernel"
     )
+    if args.chunk_cull == "on" and not chunk_cull:
+        print(
+            f"note: --chunk-cull on ignored (intersector={intersector!r} "
+            "subsumes chunk skipping; cull applies to 'megakernel' only)",
+            file=sys.stderr,
+        )
     ray_sort = tristate(
         args.ray_sort, open_or_large or intersector == "traverse"
     ) and intersector in ("megakernel", "traverse")

@@ -36,6 +36,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -674,6 +675,7 @@ def pack_transforms_stream(
     m_a: jnp.ndarray,
     tri_valid: jnp.ndarray,
     t_chunk: int,
+    pad_to: int = 0,
 ) -> jnp.ndarray:
     """Chunk-major packing for the *streamed* (v3) selection kernel.
 
@@ -689,12 +691,18 @@ def pack_transforms_stream(
       needs no negate;
     - the triangle axis is zero-padded to a multiple of ``t_chunk``
       (zero columns ⇒ q = w = 0 ⇒ t = NaN ⇒ rejected by the accept
-      min-chain, so padding can never win).
+      min-chain, so padding can never win);
+    - ``pad_to`` (≥ t_chunk, a multiple of it) pads the triangle axis
+      further so the software-pipelined kernel can fetch groups of
+      ``pad_to // t_chunk`` fine chunks per grid step (see
+      `_mega_kernel_v4`'s ``sub``).
     """
     w = pack_transforms(m, m_a, tri_valid)  # [6, 8, T]
     w = w.at[2].multiply(-1.0)  # q = −o'z
     T = w.shape[2]
-    T_pad = -(-T // t_chunk) * t_chunk
+    unit = max(pad_to, t_chunk)
+    assert unit % t_chunk == 0, (pad_to, t_chunk)
+    T_pad = -(-T // unit) * unit
     if T_pad != T:
         w = jnp.concatenate(
             [w, jnp.zeros((6, 8, T_pad - T), w.dtype)], axis=2
@@ -895,7 +903,7 @@ def nearest_shade_streamed(
         assert clo is not None and clo.shape[0] == nc, (nc,)
     if live is None:
         live = jnp.ones((R,), jnp.float32)
-    live_f = live.astype(jnp.float32)[None, :]  # (1, R)
+    live_f = live.astype(jnp.float32).reshape(1, -1)  # (1, R)
     pad = (-R) % ray_tile
     pos3p, dir3p = pos3, dir3
     if pad:
@@ -967,6 +975,7 @@ def pack_rows_full(
     scene,
     t_chunk: int,
     perm: jnp.ndarray = None,
+    pad_to: int = 0,
 ) -> jnp.ndarray:
     """Combined per-triangle row table f32[T_pad, 48] for the v4
     megakernel's in-kernel winner-row matmul:
@@ -985,7 +994,8 @@ def pack_rows_full(
         [geom, table, jnp.zeros((geom.shape[0], 4), geom.dtype)], axis=1
     )
     T = rows.shape[0]
-    T_pad = -(-T // t_chunk) * t_chunk
+    unit = max(pad_to, t_chunk)
+    T_pad = -(-T // unit) * unit
     if T_pad != T:
         rows = jnp.concatenate(
             [rows, jnp.zeros((T_pad - T, 48), rows.dtype)], axis=0
@@ -993,7 +1003,10 @@ def pack_rows_full(
     return rows
 
 
-def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3):
+def _mega_kernel_v4(
+    *refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3,
+    sub: int = 1,
+):
     """v4 self-contained megakernel body.
 
     Measured motivation (see PERF.md): the selection contraction itself
@@ -1015,6 +1028,20 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3
     - miss lanes come back with t = +BIG, β = γ = hit = 0 and an
       all-zero shading row (the integrator's masking contract).
 
+    ``sub`` — fine-chunk grouping: the grid step's triangle group is
+    packed as ``sub`` fine chunks of ``t_chunk // sub``
+    (`pack_transforms_stream` with ``pad_to=t_chunk``), processed
+    sequentially inside ONE grid step. Why it matters (measured r4):
+    the kernel runs at ~97% of the MXU *brick* roofline — pass cost is
+    ceil(M/128)·ceil(K/128)·ceil(N/128) 128³ bricks, so any K ≤ 128
+    contraction costs one pass regardless of K — which means the only
+    wins are fewer bricks, not more overlap (a dots-first reordering
+    measured 0%; PERF.md r4 note). Fine chunks of 128 cut the triangle
+    axis padding to zero (scene1: T=896 padded to 1024 at the old
+    tc=512 grid granularity — 12.5% pure waste) while the group keeps
+    the grid-step/DMA granularity coarse. Winner indices stay exact:
+    fine chunk s covers global triangles ci·t_chunk + s·tsc + col.
+
     Accuracy: t from a Newton-refined reciprocal (~1 ulp), β/γ by FMA
     from the K=48 split contraction (≈1e-7 rel, same class as the lax
     oracle); the one-hot row matmul is exact (f32 × {0,1}).
@@ -1030,7 +1057,8 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
     Rt = idx_ref.shape[1]
-    tc = t_chunk
+    assert t_chunk % sub == 0, (t_chunk, sub)
+    tc = t_chunk // sub  # fine-chunk size (== t_chunk when sub == 1)
 
     @pl.when(ci == 0)
     def _():
@@ -1057,74 +1085,93 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3
 
     @pl.when(run)
     def _():
-        # Transform chunk streams as compact f32 (8, 6·tc) and the
+        # Transform chunks stream as compact f32 (8, 6·tc·sub) and the
         # exact K=48 split packing is built HERE, per chunk — 3× less
         # HBM traffic than streaming pre-split bf16 (the binding
         # constraint at bunny scale: cull skips compute, not DMA), for
         # ~10 VPU ops on an (8, 6·tc) block.
-        ws_blk = ws_ref[:]
-        w_k = (
-            _split_cat(ws_blk, 0, "hhll", terms)
-            if exact
-            else ws_blk.astype(jnp.bfloat16)
-        )
-        p = jax.lax.dot_general(
-            w_k,  # (K, 6·tc)
-            rk_ref[:],  # (K, Rt)
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (6·tc, Rt)
-        opx = p[0 * tc : 1 * tc]
-        opy = p[1 * tc : 2 * tc]
-        q = p[2 * tc : 3 * tc]  # −o'z (negated at pack time)
-        dpx = p[3 * tc : 4 * tc]
-        dpy = p[4 * tc : 5 * tc]
-        w = p[5 * tc : 6 * tc]  # d'z
-        r = pl.reciprocal(w, approx=True)
-        r = r * (2.0 - w * r)  # one Newton step → ~1 ulp
-        t = q * r
-        beta = opx + t * dpx
-        gamma = opy + t * dpy
-        mm = jnp.minimum(jnp.minimum(beta, gamma), t)
-        mm = jnp.minimum(mm, 1.0 - (beta + gamma))
-        tm = jnp.where(mm > 0.0, t, _BIG)
-        c_min = jnp.min(tm, axis=0)  # (Rt,)
+        ws_blk = ws_ref[:]  # (8, 6·tc·sub)
+        # Sequential per fine chunk — one live (6·tc, Rt) intermediate
+        # bounds VMEM (issuing every contraction up front OOMs scoped
+        # vmem at useful tile sizes, and measured no overlap win).
         col = jax.lax.broadcasted_iota(jnp.int32, (tc, Rt), 0)
-        c_idx = jnp.min(
-            jnp.where(tm <= c_min[None, :], col, jnp.int32(2**31 - 1)),
-            axis=0,
-        )  # local winner column (tc sentinel-free: INT_MAX when none)
-        better = c_min < bt_ref[0, :]
-        # exact one-hot of the single winning column (ties resolved to
-        # the smallest index above, so exactly one true per better lane)
-        win = (col == c_idx[None, :]) & better[None, :]
-        # Winner-row fetch as ONE MXU contraction. Mosaic lowers f32
-        # dot_general to single-pass bf16 (no HIGHEST), so the f32 row
-        # block is split in-kernel into a 3-term bf16 truncation stack
-        # along the contraction axis; {0,1} one-hot entries are exact
-        # in bf16, so the sum h+l1+l2 reconstructs the row to ~6e-8.
-        # (Streaming f32 + splitting here also halves the rows DMA.)
-        rows_blk = rows_ref[:]  # (tc, 48) f32
-        onehot = win.astype(jnp.bfloat16)
-        if exact:
-            h, l1, l2 = _bf16_split3(rows_blk)
-            rows_k = jnp.concatenate([h, l1, l2], axis=0)
-            onehot = jnp.concatenate([onehot] * 3, axis=0)
-        else:
-            rows_k = rows_blk.astype(jnp.bfloat16)
-        row_c = jax.lax.dot_general(
-            rows_k,  # (terms·tc, 48) bf16
-            onehot,  # (terms·tc, Rt)
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (48, Rt)
-        b_c = jnp.sum(jnp.where(win, beta, 0.0), axis=0)
-        g_c = jnp.sum(jnp.where(win, gamma, 0.0), axis=0)
-        bt_ref[0, :] = jnp.where(better, c_min, bt_ref[0, :])
-        bi_ref[0, :] = jnp.where(better, c_idx + ci * tc, bi_ref[0, :])
-        bb_ref[0, :] = jnp.where(better, b_c, bb_ref[0, :])
-        bg_ref[0, :] = jnp.where(better, g_c, bg_ref[0, :])
-        brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
+        for s in range(sub):
+            blk = ws_blk[:, s * 6 * tc : (s + 1) * 6 * tc]
+            w_k = (
+                _split_cat(blk, 0, "hhll", terms)
+                if exact
+                else blk.astype(jnp.bfloat16)
+            )
+            p = jax.lax.dot_general(
+                w_k,  # (K, 6·tc)
+                rk_ref[:],  # (K, Rt)
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (6·tc, Rt)
+            opx = p[0 * tc : 1 * tc]
+            opy = p[1 * tc : 2 * tc]
+            q = p[2 * tc : 3 * tc]  # −o'z (negated at pack time)
+            dpx = p[3 * tc : 4 * tc]
+            dpy = p[4 * tc : 5 * tc]
+            w = p[5 * tc : 6 * tc]  # d'z
+            r = pl.reciprocal(w, approx=True)
+            r = r * (2.0 - w * r)  # one Newton step → ~1 ulp
+            t = q * r
+            beta = opx + t * dpx
+            gamma = opy + t * dpy
+            mm = jnp.minimum(jnp.minimum(beta, gamma), t)
+            mm = jnp.minimum(mm, 1.0 - (beta + gamma))
+            tm = jnp.where(mm > 0.0, t, _BIG)
+            c_min = jnp.min(tm, axis=0)  # (Rt,)
+            c_idx = jnp.min(
+                jnp.where(tm <= c_min[None, :], col, jnp.int32(2**31 - 1)),
+                axis=0,
+            )  # local winner column (tc sentinel-free: INT_MAX when none)
+            better = c_min < bt_ref[0, :]
+            # exact one-hot of the single winning column (ties resolve
+            # to the smallest index above, so exactly one true per
+            # better lane)
+            win = (col == c_idx[None, :]) & better[None, :]
+            # Winner-row fetch as ONE MXU contraction. Mosaic lowers
+            # f32 dot_general to single-pass bf16 (no HIGHEST), so the
+            # f32 shading block (columns 12:44 — the only rows the
+            # kernel consumes; 0:12 geometry is epilogue/backward-only)
+            # is split into a 3-term bf16 truncation stack along the
+            # OUTPUT axis — (tc, 96), one MXU brick since 96 ≤ 128 —
+            # and the three 32-row product blocks are summed after the
+            # matmul: {0,1} one-hot entries are exact in bf16, so
+            # h·w + l1·w + l2·w reconstructs the row exactly. (r3
+            # stacked the split on the contraction axis — (3·tc, 48),
+            # K = 3·tc — which costs 3× the MXU bricks for the same
+            # product: pass cost is ceil(M/128)·ceil(K/128)·ceil(N/128)
+    # and the K-stack tripled ceil(K/128); PERF.md r4.)
+            rows_blk = rows_ref[s * tc : (s + 1) * tc, 12:44]  # (tc, 32)
+            onehot = win.astype(jnp.bfloat16)
+            if exact:
+                # Always 3 terms for the rows (exact even when the
+                # selection runs at terms=2): 96 ≤ 128 is still one
+                # N-brick, so full precision here is free.
+                h, l1, l2 = _bf16_split3(rows_blk)
+                rows_k = jnp.concatenate([h, l1, l2], axis=1)  # (tc, 96)
+            else:
+                rows_k = rows_blk.astype(jnp.bfloat16)
+            row_c = jax.lax.dot_general(
+                rows_k,  # (tc, 96 | 32) bf16
+                onehot,  # (tc, Rt)
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (96 | 32, Rt)
+            if exact:
+                row_c = row_c[0:32] + row_c[32:64] + row_c[64:96]
+            b_c = jnp.sum(jnp.where(win, beta, 0.0), axis=0)
+            g_c = jnp.sum(jnp.where(win, gamma, 0.0), axis=0)
+            bt_ref[0, :] = jnp.where(better, c_min, bt_ref[0, :])
+            bi_ref[0, :] = jnp.where(
+                better, c_idx + ci * t_chunk + s * tc, bi_ref[0, :]
+            )
+            bb_ref[0, :] = jnp.where(better, b_c, bb_ref[0, :])
+            bg_ref[0, :] = jnp.where(better, g_c, bg_ref[0, :])
+            brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
 
     @pl.when(ci == nc - 1)
     def _():
@@ -1135,13 +1182,14 @@ def _mega_kernel_v4(*refs, t_chunk: int, cull: bool, exact: bool, terms: int = 3
         tbg_ref[1, :] = bb_ref[0, :] * hitf
         tbg_ref[2, :] = bg_ref[0, :] * hitf
         tbg_ref[3, :] = hitf
-        shade_ref[:] = brow_ref[12:44, :] * hitf[None, :]
+        shade_ref[:] = brow_ref[:] * hitf[None, :]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ray_tile", "t_chunk", "interpret", "exact", "cull", "terms"
+        "ray_tile", "t_chunk", "interpret", "exact", "cull", "terms",
+        "sub",
     ),
 )
 def nearest_shade_full(
@@ -1159,10 +1207,18 @@ def nearest_shade_full(
     exact: bool = True,
     cull: bool = False,
     terms: int = 3,
+    sub: int = 1,
 ):
     """v4 self-contained megakernel: ONE pallas_call returns
     (idx i32[R], tbg f32[4, R], shade f32[32, R]) with no XLA epilogue
     — see `_mega_kernel_v4`. Streams any triangle count.
+
+    ``sub > 1`` = software pipelining: ``ws`` must be packed with fine
+    chunks of ``t_chunk // sub`` padded to ``t_chunk`` groups
+    (``pack_transforms_stream(..., t_chunk // sub, pad_to=t_chunk)``);
+    the kernel issues all ``sub`` contractions of a group before any
+    accept chain so MXU and VPU work overlap. Cull granularity stays
+    the group (clo/chi per ``t_chunk``).
 
     Scale limit in CULL mode only: the chunk AABBs (clo/chi) are
     whole-array SMEM operands, so the chunk count is bounded by scalar
@@ -1181,7 +1237,7 @@ def nearest_shade_full(
         assert clo is not None and clo.shape[0] == nc, (nc,)
     if live is None:
         live = jnp.ones((R,), jnp.float32)
-    live_f = live.astype(jnp.float32)[None, :]
+    live_f = live.astype(jnp.float32).reshape(1, -1)
     pad = (-R) % ray_tile
     if pad:
         pos3 = jnp.concatenate([pos3, jnp.zeros((3, pad), pos3.dtype)], axis=1)
@@ -1212,7 +1268,7 @@ def nearest_shade_full(
     idx, tbg, shade = pl.pallas_call(
         functools.partial(
             _mega_kernel_v4, t_chunk=t_chunk, cull=cull, exact=exact,
-            terms=terms,
+            terms=terms, sub=sub,
         ),
         grid=(Rp // ray_tile, nc),
         in_specs=in_specs,
@@ -1234,7 +1290,7 @@ def nearest_shade_full(
             pltpu.VMEM((1, ray_tile), jnp.int32),  # best index
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best beta
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best gamma
-            pltpu.VMEM((48, ray_tile), jnp.float32),  # best row
+            pltpu.VMEM((32, ray_tile), jnp.float32),  # best shading row
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -1244,31 +1300,11 @@ def nearest_shade_full(
     return idx[0, :R], tbg[:, :R], shade[:, :R]
 
 
-def _recompute_winner(rows, idx, pos3, dir3):
-    """Differentiable recompute of the v4 megakernel's (tbg, shade)
-    outputs for FIXED winner indices.
-
-    The nearest-hit index is piecewise-constant in the scene parameters
-    (gradient 0 almost everywhere), so the a.e.-correct gradient of the
-    megakernel's outputs is the gradient of this function: gather the
-    winner's geometry row from ``rows[:, :12]`` (the exact f32 triangle
-    transform, `pack_geom_rows` layout), redo the Cramer solve in plain
-    jnp, and pass the shading row through. Matches the kernel's values
-    to its documented tolerance (~1e-7 rel: Newton rcp + K=48 split).
-
-    Only used to define the backward pass (`nearest_shade_full_diff`) —
-    the forward runs the kernel, so none of these gathers exist on the
-    inference path.
-    """
-    hit = idx >= 0
+def _recompute_from_full(full, hit, pos3, dir3):
+    """(tbg, shade) from pre-gathered winner rows ``full (R, 48)`` —
+    the gather-free core of `_recompute_winner` (all elementwise, so
+    its vjp is elementwise too)."""
     hitf = hit.astype(jnp.float32)
-    tid = jnp.maximum(idx, 0)
-    # ONE full-width row gather, sliced afterwards. Gathering partial
-    # rows (``rows[tid, :12]``) hits a pathological XLA-TPU gather
-    # lowering: measured 1965 ms vs 10 ms for the full-row form at
-    # R=480k — a 200× difference that round 3 initially shipped as a
-    # 75×-too-slow gradient path.
-    full = rows[tid]  # (R, 48)
     g = full[:, :12].T  # (12, R)
     s = full[:, 12:44].T  # (32, R)
     o, d = pos3, dir3
@@ -1299,8 +1335,178 @@ def _recompute_winner(rows, idx, pos3, dir3):
     return tbg, shade
 
 
+def _scatter_rows_kernel(idx_ref, dvk_ref, out_ref, acc_ref, *, terms: int):
+    """One-hot-matmul scatter-add body (see `scatter_rows`). Grid =
+    ray tiles (sequential); the (T_pad, 48) accumulator lives in VMEM
+    scratch across steps."""
+    ti = pl.program_id(0)
+    nt = pl.num_programs(0)
+    T = out_ref.shape[0]
+    Rt = idx_ref.shape[1]
+
+    @pl.when(ti == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    idx = idx_ref[0, :]  # (Rt,) i32; -1 = miss/padding → matches no row
+    tri = jax.lax.broadcasted_iota(jnp.int32, (T, Rt), 0)
+    onehot = (tri == idx[None, :]).astype(jnp.bfloat16)
+    p = jax.lax.dot_general(
+        onehot,  # (T, Rt)
+        dvk_ref[:],  # (terms·48, Rt) bf16 truncation stack
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, terms·48)
+    d = p[:, 0:48]
+    for k in range(1, terms):
+        d = d + p[:, 48 * k : 48 * (k + 1)]
+    acc_ref[:] += d
+
+    @pl.when(ti == nt - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T_pad", "ray_tile", "interpret", "terms")
+)
+def scatter_rows(
+    idx: jnp.ndarray,  # i32[R] (−1 = contribute nothing)
+    dvals: jnp.ndarray,  # f32[48, R] per-ray row cotangents
+    T_pad: int,
+    ray_tile: int = 2048,
+    interpret: bool = False,
+    terms: int = 3,
+) -> jnp.ndarray:
+    """``zeros((T_pad, 48)).at[idx].add(dvals.T)`` as a Pallas one-hot
+    matmul — the gradient-path replacement for XLA's TPU scatter-add,
+    which measured 3.5 ms per 480k-ray segment (plus ~1.5 ms of layout
+    copies feeding it) vs ~1.1 ms of MXU bricks here (PERF.md r4).
+
+    Exactness: the one-hot is {0,1} (exact bf16); ``dvals`` is split
+    into a ``terms``-term bf16 truncation stack along the OUTPUT axis
+    (`_bf16_split3`), each product accumulates in f32, and the term
+    sums reconstruct the f32 cotangent exactly (3 terms ≡ 24 mantissa
+    bits). Summation order across ray tiles differs from XLA's scatter
+    (f32 add is not associative) — same error class as any reduction
+    reordering.
+
+    VMEM bound: the (T_pad, 48) f32 accumulator must fit in scratch —
+    callers fall back to `.at[].add` above ~16k triangles.
+    """
+    R = idx.shape[0]
+    pad = (-R) % ray_tile
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.full((pad,), -1, jnp.int32)], axis=0
+        )
+        dvals = jnp.concatenate(
+            [dvals, jnp.zeros((48, pad), dvals.dtype)], axis=1
+        )
+    Rp = R + pad
+    if terms == 3:
+        h, l1, l2 = _bf16_split3(dvals)
+        dvk = jnp.concatenate([h, l1, l2], axis=0)  # (144, Rp)
+    else:
+        dvk = dvals.astype(jnp.bfloat16)
+        terms = 1
+    out = pl.pallas_call(
+        functools.partial(_scatter_rows_kernel, terms=terms),
+        grid=(Rp // ray_tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (terms * 48, ray_tile),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (T_pad, 48), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=_sds((T_pad, 48), jnp.float32, dvals),
+        scratch_shapes=[pltpu.VMEM((T_pad, 48), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(idx[None, :], dvk)
+    return out
+
+
+# Above this, the one-hot scatter's (T_pad, 48) VMEM accumulator gets
+# tight; fall back to XLA's scatter-add.
+_SCATTER_ROWS_MAX_T = 16384
+
+
+def _recompute_winner(rows, idx, pos3, dir3, interpret=False):
+    """Differentiable recompute of the v4 megakernel's (tbg, shade)
+    outputs for FIXED winner indices.
+
+    The nearest-hit index is piecewise-constant in the scene parameters
+    (gradient 0 almost everywhere), so the a.e.-correct gradient of the
+    megakernel's outputs is the gradient of this function: gather the
+    winner's geometry row from ``rows[:, :12]`` (the exact f32 triangle
+    transform, `pack_geom_rows` layout), redo the Cramer solve in plain
+    jnp, and pass the shading row through. Matches the kernel's values
+    to its documented tolerance (~1e-7 rel: Newton rcp + K=48 split).
+
+    Only used to define the backward pass (`nearest_shade_full_diff`,
+    the traversal epilogue) — the forward runs the kernel, so none of
+    these gathers exist on the inference path. Custom vjp: the
+    transpose of the row gather is computed by `scatter_rows` (one-hot
+    MXU matmul) instead of XLA's scatter-add — 3.5 ms → ~1.1 ms per
+    480k-ray segment.
+    """
+    return _recompute_winner_vjp(interpret)(rows, idx, pos3, dir3)
+
+
 @functools.lru_cache(maxsize=None)
-def _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull, terms=3):
+def _recompute_winner_vjp(interpret: bool):
+    @jax.custom_vjp
+    def f(rows, idx, pos3, dir3):
+        # ONE full-width row gather, sliced afterwards. Gathering
+        # partial rows (``rows[tid, :12]``) hits a pathological
+        # XLA-TPU gather lowering: measured 1965 ms vs 10 ms for the
+        # full-row form at R=480k.
+        full = rows[jnp.maximum(idx, 0)]  # (R, 48)
+        return _recompute_from_full(full, idx >= 0, pos3, dir3)
+
+    def fwd(rows, idx, pos3, dir3):
+        return f(rows, idx, pos3, dir3), (rows, idx, pos3, dir3)
+
+    def bwd(res, cts):
+        rows, idx, pos3, dir3 = res
+        hit = idx >= 0
+        tid = jnp.maximum(idx, 0)
+        T_pad = rows.shape[0]
+        full = rows[tid]  # re-gather (cheap: 0.6 ms) > storing 92 MB
+        _, vjp = jax.vjp(
+            lambda fl, p, d: _recompute_from_full(fl, hit, p, d),
+            full, pos3, dir3,
+        )
+        d_full, d_pos, d_dir = vjp(cts)  # all elementwise
+        if T_pad <= _SCATTER_ROWS_MAX_T:
+            d_rows = scatter_rows(
+                idx, d_full.T, T_pad, interpret=interpret
+            )
+        else:
+            d_rows = jnp.zeros((T_pad, 48), rows.dtype).at[tid].add(
+                jnp.where(hit[:, None], d_full, 0.0)
+            )
+        d_idx = np.zeros(idx.shape, jax.dtypes.float0)
+        return d_rows, d_idx, d_pos, d_dir
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_megakernel(
+    ray_tile, t_chunk, interpret, exact, cull, terms=3, sub=1
+):
     """Differentiable wrapper around `nearest_shade_full`.
 
     Forward = the v4 kernel verbatim (zero per-ray gathers). Backward =
@@ -1324,6 +1530,7 @@ def _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull, terms=3):
             ws, rows, pos3, dir3, live, clo, chi,
             ray_tile=ray_tile, t_chunk=t_chunk,
             interpret=interpret, exact=exact, cull=cull, terms=terms,
+            sub=sub,
         )
 
     def fwd(ws, rows, pos3, dir3, live, clo, chi):
@@ -1334,7 +1541,7 @@ def _make_diff_megakernel(ray_tile, t_chunk, interpret, exact, cull, terms=3):
         idx, rows, pos3, dir3, clo, chi, live = res
         _, ct_tbg, ct_shade = cts  # idx is int: its cotangent is float0
         _, vjp = jax.vjp(
-            lambda r, p, d: _recompute_winner(r, idx, p, d),
+            lambda r, p, d: _recompute_winner(r, idx, p, d, interpret),
             rows, pos3, dir3,
         )
         d_rows, d_pos, d_dir = vjp((ct_tbg, ct_shade))
@@ -1352,14 +1559,14 @@ def nearest_shade_full_diff(
     ws, rows, pos3, dir3, live=None, clo=None, chi=None, *,
     ray_tile: int = _RAY_TILE, t_chunk: int = 256,
     interpret: bool = False, exact: bool = True, cull: bool = False,
-    terms: int = 3,
+    terms: int = 3, sub: int = 1,
 ):
     """`nearest_shade_full` with a.e.-correct gradients (see
     `_make_diff_megakernel`). Same interface and outputs."""
     if live is None:
         live = jnp.ones((pos3.shape[1],), jnp.float32)
     return _make_diff_megakernel(
-        ray_tile, t_chunk, interpret, exact, cull, terms
+        ray_tile, t_chunk, interpret, exact, cull, terms, sub
     )(ws, rows, pos3, dir3, live, clo, chi)
 
 
@@ -1598,7 +1805,7 @@ def nearest_shade_culled(
     assert T % t_chunk == 0, (T, t_chunk)
     assert clo.shape[0] == T // t_chunk, (clo.shape, T, t_chunk)
     pad = (-R) % ray_tile
-    live_f = live.astype(jnp.float32)[None, :]  # (1, R)
+    live_f = live.astype(jnp.float32).reshape(1, -1)  # (1, R)
     if pad:
         pos3 = jnp.concatenate([pos3, jnp.zeros((3, pad), pos3.dtype)], axis=1)
         dir3 = jnp.concatenate([dir3, jnp.zeros((3, pad), dir3.dtype)], axis=1)

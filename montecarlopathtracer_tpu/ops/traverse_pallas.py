@@ -292,11 +292,16 @@ def _traverse_kernel(
         # Early exit: tmin is sorted ascending, so once the NEXT
         # chunk's distance bound exceeds every live lane's best-t, no
         # remaining chunk can improve any lane — stop walking (the two
-        # in-flight prefetches are drained below).
+        # in-flight prefetches are drained below). The bound is slack
+        # by ~1 ulp of relative error: tmin lower-bounds hit t only for
+        # exactly unit-length directions, and bounce directions carry
+        # ~1e-7 normalization error (ADVICE r3) — the (1 + 1e-6) factor
+        # absorbs it so a marginally-nearer hit can never be skipped.
         bt_max = jnp.max(jnp.where(live, bt_ref[0, :], 0.0))
+        bt_bound = bt_max * (1.0 + 1e-6) + 1e-6
         nxt = jnp.minimum(p + 1, nc - 1)
         n_stop = jnp.where(
-            (p + 1 < n_stop) & (tmin_ref[row, nxt] > bt_max),
+            (p + 1 < n_stop) & (tmin_ref[row, nxt] > bt_bound),
             p + 1,
             n_stop,
         )
@@ -350,7 +355,7 @@ def traverse_select(
     assert clo.shape == (nc, 3) and chi.shape == (nc, 3), (clo.shape, nc)
     if live is None:
         live = jnp.ones((R,), jnp.float32)
-    live_f = live.astype(jnp.float32)[None, :]
+    live_f = live.astype(jnp.float32).reshape(1, -1)
     pad = (-R) % ray_tile
     if pad:
         pos3 = jnp.concatenate(
@@ -442,7 +447,7 @@ def nearest_shade_traverse(
             interpret=interpret, exact=exact, terms=terms,
         )
     )
-    tbg, shade = _recompute_winner(rows, idx, pos3, dir3)
+    tbg, shade = _recompute_winner(rows, idx, pos3, dir3, interpret)
     return idx, tbg, shade
 
 

@@ -118,6 +118,15 @@ class TraceConfig:
     stream_chunk: int = 0  # triangles per streamed-kernel chunk
     # (0 = auto: 256, or 128 when chunk_cull — finer chunks cull
     # better). The streamed kernel pads the triangle axis internally.
+    pipeline_sub: int = 0  # megakernel fine-chunk grouping: each grid
+    # step's triangle group is processed as this many fine chunks of
+    # sc//sub inside one kernel step. Fine 128-chunks eliminate
+    # triangle-axis padding (scene1: 896 tris padded to 1024 at the
+    # old 512-grid granularity = 12.5% wasted MXU bricks) while the
+    # group keeps DMA/grid granularity coarse. 0 = auto (sc//128 for
+    # the streamed megakernel, off for traverse/cull), 1 = off.
+    # Bit-identical output for a fixed fine-chunk size
+    # (tests/test_pallas_kernel.py).
     ray_sort: bool = False  # megakernel: re-sort the wavefront each
     # segment by (origin Morton, direction octant) so kernel ray tiles
     # stay coherent and chunk-cull keeps skipping chunks on bounce
@@ -137,12 +146,26 @@ class TraceConfig:
     # 1.5x WIN everywhere else: scene2 5.4 vs 3.6, glossy 7.1 vs 4.9,
     # 82k-tri bunny 0.155 vs 0.104. Off by default; turn on (with
     # ray_sort) for anything bigger or more open than a Cornell box.
-    remat_segments: bool = True  # jax.checkpoint the scan body: the
-    # backward pass REPLAYS each segment (re-running its intersection
-    # kernel) instead of storing residuals — ~2x kernel work in
-    # fwd+bwd for minimal memory. False stores per-segment residuals
-    # (~130 MB per 480k-ray segment): faster gradients when HBM
-    # allows.
+    remat_segments: object = True  # per-segment AD memory policy:
+    # True — jax.checkpoint the scan body: the backward REPLAYS each
+    #   segment (re-running its intersection kernel) for minimal
+    #   memory (~2x kernel work in fwd+bwd).
+    # False — store EVERY per-segment intermediate (~130 MB per
+    #   480k-ray segment); r3's fast setting, but the residual stores
+    #   themselves cost ~36 ms/spp of dynamic_update_slice writes.
+    # "outputs" — checkpoint with save_only_these_names on the
+    #   intersector outputs (idx, tbg, shade): the backward replays
+    #   only the cheap elementwise sampling/shading math, never the
+    #   kernel, and residual traffic drops to 3 arrays/segment.
+    #   Fastest measured fwd+bwd (PERF.md r4); requires a Pallas-path
+    #   intersector ("megakernel"/"traverse").
+    unroll_segments: bool = False  # unroll the segment scan (8-16
+    # bodies inline). For GRADIENT renders with remat_segments=False
+    # this removes the per-step residual-stacking writes — the scan
+    # form pays ~0.4 ms per dynamic_update_slice for ~9 saved arrays
+    # per segment (~30 ms/spp measured, PERF.md r4); unrolled,
+    # residuals are plain HBM buffers. Costs compile time; pointless
+    # for inference.
     pallas_interpret: bool = False  # interpreter mode for CPU tests
 
     @property
@@ -218,12 +241,21 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         # Morton AABBs), coarser ones amortize per-chunk overhead.
         # Measured r3 (BENCH_SCENES): brute path fastest at 512;
         # traversal at 256 (bunny 0.50 vs 0.45 at 128); cull keeps 128.
+        T128 = int(m.shape[0])  # lane-padded triangle count
         if config.stream_chunk:
             sc = config.stream_chunk
         elif config.chunk_cull:
             sc = 128
         elif traverse:
             sc = 256
+        elif T128 <= 4096:
+            # Small scene: ONE grid group holding the whole (128-
+            # padded) triangle axis, processed as fine 128-chunks
+            # inside the kernel (``sub`` below) — zero triangle-axis
+            # padding. At the old tc=512 grid granularity scene1's 896
+            # triangles padded to 1024: 12.5% of all MXU bricks were
+            # zeros (PERF.md r4).
+            sc = T128
         else:
             sc = 512
         # Ray tile: bigger tiles amortize per-tile fixed cost (brute:
@@ -242,6 +274,20 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 f"128, got {config.stream_chunk}"
             )
 
+        # Fine-chunk grouping (the v4 kernel's ``sub``): pack fine
+        # chunks of sc//sub grouped into sc-sized grid blocks. Off for
+        # the traversal walk (its DMA protocol is per fine chunk) and
+        # for cull mode (reach granularity = the fine chunk already).
+        if traverse or config.chunk_cull:
+            sub = 1
+        elif config.pipeline_sub:
+            sub = config.pipeline_sub
+        else:
+            sub = max(1, sc // 128)  # fine chunks of 128: no padding
+        if sc % (sub * 128):
+            sub = 1  # fine chunks must keep the 128-lane granularity
+        sc_fine = sc // sub
+
         if config.chunk_cull or traverse:
             # Spatially reorder the triangle axis so fixed chunks have
             # tight AABBs; all kernel-side data uses the same order, so
@@ -249,15 +295,20 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             # are only compared with -1 for miss detection).
             perm = morton_order(a, b, c, scene.tri_valid)
             ws = pack_transforms_stream(
-                m[perm], m_a[perm], scene.tri_valid[perm], sc
+                m[perm], m_a[perm], scene.tri_valid[perm], sc_fine,
+                pad_to=sc,
             )
-            rows = pack_rows_full(m[perm], m_a[perm], scene, sc, perm=perm)
+            rows = pack_rows_full(
+                m[perm], m_a[perm], scene, sc_fine, perm=perm, pad_to=sc
+            )
             clo, chi = chunk_aabbs_padded(
                 a, b, c, scene.tri_valid, perm, sc
             )
         else:
-            ws = pack_transforms_stream(m, m_a, scene.tri_valid, sc)
-            rows = pack_rows_full(m, m_a, scene, sc)
+            ws = pack_transforms_stream(
+                m, m_a, scene.tri_valid, sc_fine, pad_to=sc
+            )
+            rows = pack_rows_full(m, m_a, scene, sc_fine, pad_to=sc)
             clo = chi = None
 
         if traverse:
@@ -286,8 +337,26 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                     interpret=config.pallas_interpret,
                     exact=exact,
                     terms=terms,
+                    sub=sub,
                     **kw,
                 )
+            if config.remat_segments == "outputs":
+                # Tag the kernel outputs for the scan's checkpoint
+                # policy (see TraceConfig.remat_segments): the
+                # backward replay reuses these instead of re-running
+                # the kernel.
+                from jax.ad_checkpoint import checkpoint_name
+
+                idx = checkpoint_name(idx, "mcpt_seg")
+                tbg = checkpoint_name(tbg, "mcpt_seg")
+                shade = checkpoint_name(shade, "mcpt_seg")
+            # NOTE on layouts (r4 measurement): per-ray scalars stay
+            # 1-D [R] on purpose. An experiment moving them to [1, R]
+            # rows (to avoid the T(1024) relayout each [R] slice pays)
+            # REGRESSED both paths ~5-10%: a (1, R) f32 array tiles as
+            # T(1,128) — one of 8 sublanes per vreg — so every
+            # elementwise op on it runs at 1/8 vreg efficiency, which
+            # costs more than the relayouts saved.
             hitf = tbg[3]
             t = tbg[0]
             point = pos3 + (t * hitf)[None, :] * dir3
@@ -530,9 +599,22 @@ def trace_radiance_soa(
     )
     if vary_axes:
         init = jax.tree.map(lambda x: _pcast_missing(x, vary_axes), init)
-    body = jax.checkpoint(segment) if config.remat_segments else segment
+    if config.remat_segments == "outputs":
+        body = jax.checkpoint(
+            segment,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "mcpt_seg"
+            ),
+        )
+    elif config.remat_segments:
+        body = jax.checkpoint(segment)
+    else:
+        body = segment
     (pos, dir_, tput, result, active, rid), _ = jax.lax.scan(
-        body, init, jnp.arange(n_seg)
+        body,
+        init,
+        jnp.arange(n_seg),
+        unroll=n_seg if config.unroll_segments else 1,
     )
     if use_sort:
         # Scatter back to original ray order (unique indices).

@@ -552,3 +552,68 @@ def test_rr_mode_megakernel_matches_brute_trace():
     rm = np.asarray(trace_radiance_jit(scene, o, d, k, config=cfg_m))
     close = np.isclose(rb, rm, rtol=1e-4, atol=1e-5).all(axis=-1)
     assert close.mean() >= 0.95, close.mean()
+
+
+def test_fine_chunk_grouping_is_bit_identical():
+    """The v4 kernel's ``sub`` grouping (one grid step processing
+    several fine chunks) must be bit-identical to running the same
+    fine chunks at grid granularity — the winner arithmetic and
+    per-chunk tie-breaking are unchanged, only the blocking is."""
+    from montecarlopathtracer_tpu.ops.intersect import triangle_transforms
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms_stream,
+        pack_rows_full,
+        nearest_shade_full,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=32, height=24
+    )
+    a, b, c = scene.triangle_vertices()
+    m, m_a = triangle_transforms(a, b, c)
+    R = 32 * 24
+    pix = jnp.arange(R)
+    pos3, dir3 = cam.generate_rays_soa(
+        pix % 32, pix // 32, jnp.zeros(R), jnp.zeros(R), 32, 24
+    )
+
+    def run(group, sub):
+        fine = group // sub
+        ws = pack_transforms_stream(
+            m, m_a, scene.tri_valid, fine, pad_to=group
+        )
+        rows = pack_rows_full(m, m_a, scene, fine, pad_to=group)
+        return nearest_shade_full(
+            ws, rows, pos3, dir3, t_chunk=group, sub=sub, interpret=True
+        )
+
+    ref = run(128, 1)
+    for group, sub in ((256, 2), (512, 4)):
+        out = run(group, sub)
+        for r, o in zip(ref, out):
+            assert (np.asarray(r) == np.asarray(o)).all(), (group, sub)
+
+
+def test_scatter_rows_matches_xla_scatter_add():
+    """`scatter_rows` (the one-hot-matmul scatter used by the gradient
+    path) must reproduce ``zeros.at[idx].add`` exactly for exact-bf16-
+    representable values and to f32 round-off for arbitrary ones."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import scatter_rows
+
+    rng = np.random.default_rng(3)
+    T_pad, R = 256, 1024
+    idx = rng.integers(-1, T_pad, size=R).astype(np.int32)
+    dvals = rng.standard_normal((48, R)).astype(np.float32)
+
+    got = np.asarray(
+        scatter_rows(jnp.asarray(idx), jnp.asarray(dvals), T_pad,
+                     ray_tile=256, interpret=True)
+    )
+    want = np.zeros((T_pad, 48), np.float32)
+    hit = idx >= 0
+    np.add.at(want, idx[hit], dvals.T[hit])
+    # 3-term split reconstructs f32 exactly; only the accumulation
+    # order differs across tiles.
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    # miss lanes (-1) contribute nothing
+    assert got[~np.isin(np.arange(T_pad), idx[hit])].sum() == 0.0

@@ -85,6 +85,11 @@ def main() -> int:
     import jax
     import numpy as np
 
+    from montecarlopathtracer_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     from montecarlopathtracer_tpu.models import cornell, glossy
     from montecarlopathtracer_tpu.models.bunny import bunny_scene
     from montecarlopathtracer_tpu.render.integrator import TraceConfig
