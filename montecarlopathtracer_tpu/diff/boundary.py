@@ -83,6 +83,7 @@ def boundary_grad_translation(
     n_samples: int = 4096,
     eps_px: float = 0.3,
     accel=None,
+    vary_axes: Tuple[str, ...] = (),
 ) -> jnp.ndarray:
     """dLoss/dθ (f32[3]) for a unit translation θ of the edge mesh.
 
@@ -100,6 +101,7 @@ def boundary_grad_translation(
         scene, camera, edges, image_grad, key,
         width=width, height=height, config=config,
         n_samples=n_samples, eps_px=eps_px, accel=accel,
+        vary_axes=vary_axes,
     )
     return jnp.sum(gv, axis=0)
 
@@ -117,8 +119,14 @@ def boundary_grad_vertices(
     n_samples: int = 4096,
     eps_px: float = 0.3,
     accel=None,
+    vary_axes: Tuple[str, ...] = (),
 ) -> jnp.ndarray:
     """Per-vertex boundary gradient dLoss/dvertices (f32[V, 3]).
+
+    ``vary_axes``: mesh axis names when called inside a `shard_map`
+    body (each device then traces its own independent probe batch —
+    see `parallel.sharded.make_geom_train_step`); threaded to
+    `trace_radiance_soa` for the check_vma typecheck.
 
     Generalizes :func:`boundary_grad_translation` from a rigid θ ∈ R³
     to arbitrary vertex velocities: an edge sample at parameter u on
@@ -166,7 +174,8 @@ def boundary_grad_vertices(
     ys = jnp.concatenate([sy + eps_px * ny, sy - eps_px * ny])
     pos3, dir3 = camera.generate_rays_soa(xs, ys, zeros, zeros, width, height)
     rad = trace_radiance_soa(
-        scene, pos3, dir3, jax.random.fold_in(key, 13), config, accel
+        scene, pos3, dir3, jax.random.fold_in(key, 13), config, accel,
+        vary_axes,
     )
     l_plus = rad[:, :n_samples]
     l_minus = rad[:, n_samples:]

@@ -188,3 +188,133 @@ def make_train_step(
         return new_params, loss
 
     return step
+
+
+def make_geom_train_step(
+    mesh: Mesh,
+    scene: ScenePack,
+    camera: Camera,
+    tri_mask,  # bool[T] triangles that translate with θ
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+    n_edge_samples: int = 2048,
+    lr: float = 2.0,
+):
+    """Sharded GEOMETRY-optimization step (BASELINE config 5): recover
+    a rigid translation θ ∈ R³ of a marked triangle subset from a
+    target image, fully under `shard_map`.
+
+    The interior vertex gradient is exactly zero for this material
+    model (diff/grad.py), so dLoss/dθ is the boundary/silhouette term
+    (`diff.boundary`). Sharding:
+
+    - the render wavefront is sharded as in `sharded_sample_pass`
+      (row bands × spp shards, film psum over the spp axis);
+    - each device all-gathers the row bands once (the estimator's
+      probe pixels land anywhere in the frame) and computes the SAME
+      replicated loss/image-gradient;
+    - the boundary estimator's probe rays are sharded too: every
+      device traces ``n_edge_samples / n_devices`` independent edge
+      samples (its own key fold), and the partial θ-gradients are
+      combined with ONE psum over both mesh axes — the gradient
+      all-reduce, riding ICI.
+
+    Returns ``step(theta, target, key) -> (theta', loss)``.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..diff.boundary import boundary_grad_translation, unique_edges
+
+    n_rays = mesh.shape[RAYS_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    n_dev = n_rays * n_spp
+    if height % n_rays:
+        raise ValueError(f"height {height} not divisible by {n_rays}")
+    if spp % n_spp:
+        raise ValueError(f"spp {spp} not divisible by {n_spp}")
+    if n_edge_samples % n_dev:
+        raise ValueError(
+            f"n_edge_samples {n_edge_samples} not divisible by {n_dev}"
+        )
+    rows_local = height // n_rays
+    spp_local = spp // n_spp
+    n_local = n_edge_samples // n_dev
+    axes = (RAYS_AXIS, SPP_AXIS)
+
+    tm = np.asarray(tri_mask)
+    vids = np.unique(np.asarray(scene.tri_v)[tm].ravel())
+    vmask = np.zeros((scene.vertices.shape[0], 1), np.float32)
+    vmask[vids] = 1.0
+    vmask = jnp.asarray(vmask)
+    edges = jnp.asarray(unique_edges(scene.tri_v, tm))
+
+    def shifted(theta):
+        return dataclasses.replace(
+            scene, vertices=scene.vertices + vmask * theta[None, :]
+        )
+
+    def local_step(theta, target, key):
+        ri = jax.lax.axis_index(RAYS_AXIS)
+        si = jax.lax.axis_index(SPP_AXIS)
+        s = shifted(theta)
+        y0 = ri * rows_local
+        dev_key = jax.random.fold_in(key, ri * 65536 + si)
+
+        def one_sample(acc, smp):
+            img = render_rows(
+                s, camera, jax.random.fold_in(dev_key, smp),
+                width, height, y0, rows_local, config, vary_axes=axes,
+            )
+            return acc + img, None
+
+        total, _ = jax.lax.scan(
+            one_sample,
+            _pcast_missing(
+                jnp.zeros((rows_local, width, 3), jnp.float32), axes
+            ),
+            jnp.arange(spp_local),
+        )
+        band = jax.lax.psum(total, SPP_AXIS) / spp  # (rows_local, W, 3)
+        # Replicated loss: per-band residual psum'd over the rays axis
+        # (invariant by construction — no gather needed for the loss).
+        tgt_band = jax.lax.dynamic_slice(
+            target, (y0, 0, 0), (rows_local, width, 3)
+        )
+        sq = jnp.sum((band - tgt_band) ** 2)
+        loss = jax.lax.psum(sq, RAYS_AXIS) / (height * width * 3)
+        # The probes' pixel weights come from anywhere in the frame:
+        # one all-gather of the row bands builds the full image grad.
+        full_img = jax.lax.all_gather(
+            band, RAYS_AXIS, axis=0, tiled=True
+        )  # (H, W, 3)
+        image_grad = 2.0 * (full_img - target) / (height * width * 3)
+        probe_key = jax.random.fold_in(key, 7777 + ri * 65536 + si)
+        g_local = boundary_grad_translation(
+            s, camera, edges, image_grad, probe_key,
+            width=width, height=height, config=config,
+            n_samples=n_local, vary_axes=axes,
+        )
+        # Gradient all-reduce: mean of the devices' independent
+        # estimates (each already normalized to its own sample count).
+        grad = jax.lax.psum(g_local, axes) / n_dev
+        return loss, grad
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=not config.pallas_interpret,
+    )
+
+    @jax.jit
+    def step(theta, target, key):
+        loss, grad = fn(theta, target, key)
+        return theta - lr * grad, loss
+
+    return step
