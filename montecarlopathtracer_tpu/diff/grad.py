@@ -93,12 +93,13 @@ def render_image(
         return acc + img, None
 
     if spp <= 8:
-        # Unrolled: wrapping the (already-checkpointed) segment scan in
-        # a second scan and differentiating crashes the TPU worker with
-        # a kernel fault when the segment intersector is a Pallas call
-        # (observed on v5e; scan-free programs are fine). Small spp
-        # unrolls cheaply; large spp keeps the scan (use spp=1..8 per
-        # step and average outside when differentiating on TPU).
+        # Small spp unrolls cheaply (and lets XLA overlap the sample
+        # batches' residual traffic); large spp keeps the scan.
+        # History: r3 documented a TPU-worker kernel fault when a scan
+        # over Pallas-intersector renders was wrapped in this second
+        # scan and differentiated. r4 re-verified on v5e (256×192,
+        # spp=16, megakernel, both remat modes): the crash no longer
+        # reproduces — gradient renders above spp=8 run in one jit.
         total = jnp.zeros((height, width, 3), jnp.float32)
         for i in range(spp):
             total, _ = one(total, i)

@@ -1585,6 +1585,7 @@ def ray_sort_keys(
     dir3: jnp.ndarray,  # f32[3, R]
     lo: jnp.ndarray,  # f32[3] scene AABB low
     hi: jnp.ndarray,  # f32[3] scene AABB high
+    dir_bits: int = 3,
 ) -> jnp.ndarray:
     """u32 wavefront-coherence sort key: Morton code of the ray origin
     (9 bits/axis within the scene AABB) with the direction octant in
@@ -1602,22 +1603,36 @@ def ray_sort_keys(
     mx = _part1by2(qi[0] & jnp.uint32(0x1FF))
     my = _part1by2(qi[1] & jnp.uint32(0x1FF))
     mz = _part1by2(qi[2] & jnp.uint32(0x1FF))
-    octant = (
-        (dir3[0] > 0).astype(jnp.uint32)
-        | ((dir3[1] > 0).astype(jnp.uint32) << 1)
-        | ((dir3[2] > 0).astype(jnp.uint32) << 2)
-    )
     morton = mx | (my << 1) | (mz << 2)  # 27 bits
-    # Key layout [coarse origin 15b | octant 3b | fine origin 12b]:
-    # the octant sits ABOVE the fine origin bits, so a kernel tile is
-    # "rays from one coarse cell going the same way" rather than "rays
-    # from one fine cell going every way" — a patch × octant frustum
-    # reaches ~8× fewer chunks than a patch × hemisphere one, which is
-    # what the traversal kernel's per-tile lists feed on (bounce
-    # wavefronts; primary rays share the octant anyway).
-    coarse = morton >> 12  # top 15 bits
+    if dir_bits == 3:
+        dkey = (
+            (dir3[0] > 0).astype(jnp.uint32)
+            | ((dir3[1] > 0).astype(jnp.uint32) << 1)
+            | ((dir3[2] > 0).astype(jnp.uint32) << 2)
+        )
+    else:
+        # Finer direction binning: dir_bits//3 Morton bits per axis of
+        # the [-1, 1]-normalized direction (sign + magnitude levels).
+        b = dir_bits // 3
+        qd = jnp.clip((dir3 + 1.0) * 0.5, 0.0, 1.0)
+        qdi = (qd * ((1 << b) - 0.001)).astype(jnp.uint32)
+        dkey = (
+            _part1by2(qdi[0])
+            | (_part1by2(qdi[1]) << 1)
+            | (_part1by2(qdi[2]) << 2)
+        )
+    # Key layout [coarse origin | direction dir_bits | fine origin]:
+    # the direction bits sit ABOVE the fine origin bits, so a kernel
+    # tile is "rays from one coarse cell going the same way" rather
+    # than "rays from one fine cell going every way" — a patch × cone
+    # frustum reaches far fewer chunks than a patch × hemisphere one,
+    # which is what the traversal kernel's per-tile lists feed on
+    # (bounce wavefronts; primary rays share the direction bin anyway).
+    # Fit in u32: 15 coarse origin bits at dir_bits ≤ 5 (the r3-tuned
+    # layout), one fewer at 6.
+    coarse = morton >> (12 if dir_bits <= 5 else 13)
     fine = morton & jnp.uint32(0xFFF)
-    return (coarse << 15) | (octant << 12) | fine
+    return (coarse << (12 + dir_bits)) | (dkey << 12) | fine
 
 
 def morton_order(

@@ -134,6 +134,11 @@ class TraceConfig:
     # RNG draws are indexed by id, so every path sees identical
     # numbers. Worth it with chunk_cull on large scenes; pure overhead
     # (an argsort + state gathers per segment) on small closed ones.
+    sort_dir_bits: int = 3  # direction resolution of the wavefront
+    # sort key (ray_sort_keys): 3 = octant (the r3 layout), 6 = one
+    # extra Morton level per axis — tighter per-tile direction cones
+    # on incoherent bounce wavefronts at the cost of one coarse origin
+    # bit (only relevant with ray_sort on).
     phong_model: str = "blinn"  # specular sampler: "blinn" = the
     # committed half-vector formulation (Utils.hpp:72-95); "phong" =
     # classic reflection-lobe sampling — the variant MC.docx's
@@ -486,7 +491,9 @@ def trace_radiance_soa(
             # the key: measured 13.9 ms vs 76 ms for argsort + six
             # permutation gathers at R=1M (each XLA gather pays ~12 ms
             # of per-element addressing regardless of row width).
-            skeys = ray_sort_keys(pos, dir_, aabb_lo, aabb_hi)
+            skeys = ray_sort_keys(
+                pos, dir_, aabb_lo, aabb_hi, config.sort_dir_bits
+            )
             skeys = jnp.where(active, skeys, jnp.uint32(0xFFFFFFFF))
             sorted_ = jax.lax.sort(
                 (

@@ -78,7 +78,18 @@ def render_film(scene, cam, config, settings):
 
 
 def main() -> int:
+    import argparse
+
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="substring filter: run "
+                    "only matching sections (scene1/scene2/mcrt/scene3) "
+                    "and merge into the existing GOLDEN.json")
+    args = ap.parse_args()
+
+    def want(name):
+        return not args.only or args.only in name
 
     from montecarlopathtracer_tpu.models import cornell
     from montecarlopathtracer_tpu.render.integrator import TraceConfig
@@ -96,6 +107,8 @@ def main() -> int:
 
     # ---- scene1 / scene2 vs result1/result2 --------------------------------
     for n, golden_name in ((1, "result1.png"), (2, "result2.png")):
+        if not want(f"scene{n}"):
+            continue
         golden_path = f"{REF}/CVMCTracer/CVMCTracer/{golden_name}"
         golden = load_png(golden_path)
         scene, cam = cornell.load_reference_scene(n, width=800, height=600)
@@ -131,6 +144,33 @@ def main() -> int:
               file=sys.stderr)
 
     # ---- MCRT variant vs MCRT result.png ------------------------------------
+    if want("mcrt"):
+        _run_mcrt(report, spp_scale, intersector)
+
+    # ---- scene3 vs result3/result4 (Blinn-Phong vs Phong figures) ----------
+    if want("scene3"):
+        _run_scene3(report, spp_scale, intersector)
+
+    out_path = os.path.join(OUT, "GOLDEN.json")
+    if args.only and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+def _run_mcrt(report, spp_scale, intersector):
+    from montecarlopathtracer_tpu.models import cornell
+    from montecarlopathtracer_tpu.render.integrator import TraceConfig
+    from montecarlopathtracer_tpu.render.renderer import RenderSettings
+    from montecarlopathtracer_tpu.render.film import tonemap_identity
+    from montecarlopathtracer_tpu.utils.golden import compare_images
+    from montecarlopathtracer_tpu.utils.image import load_png, save_png
+
     golden_path = f"{REF}/MCRT/QuinEngine/result.png"
     golden = load_png(golden_path)
     scene, cam = cornell.load_mcrt_scene(width=640, height=480)
@@ -164,7 +204,15 @@ def main() -> int:
     }
     print(f"mcrt: {json.dumps(report['mcrt'], indent=1)}", file=sys.stderr)
 
-    # ---- scene3 vs result3/result4 (Blinn-Phong vs Phong figures) ----------
+
+def _run_scene3(report, spp_scale, intersector):
+    from montecarlopathtracer_tpu.models import cornell
+    from montecarlopathtracer_tpu.render.integrator import TraceConfig
+    from montecarlopathtracer_tpu.render.renderer import RenderSettings
+    from montecarlopathtracer_tpu.render.film import tonemap_linear
+    from montecarlopathtracer_tpu.utils.golden import compare_images
+    from montecarlopathtracer_tpu.utils.image import load_png, save_png
+
     # scene03 is not wired into the reference's main.cpp; result3/4 are
     # MC.docx Figures 3/4 ("Blinn-Phong model" vs "Phong model") of the
     # red/green box whose back wall and floor are Ns=1000 mirrors. The
@@ -205,11 +253,6 @@ def main() -> int:
         report[f"scene3_{variant}"] = entry
         print(f"scene3[{variant}]: {json.dumps(entry, indent=1)}",
               file=sys.stderr)
-
-    with open(os.path.join(OUT, "GOLDEN.json"), "w") as f:
-        json.dump(report, f, indent=1)
-    print(json.dumps(report))
-    return 0
 
 
 if __name__ == "__main__":
