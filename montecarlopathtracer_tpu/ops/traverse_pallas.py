@@ -170,6 +170,7 @@ def _traverse_kernel(
     t_chunk: int,
     exact: bool,
     terms: int = 3,
+    lane_group: int = 0,
 ):
     tc = t_chunk
     nc = ord_ref.shape[1]
@@ -241,21 +242,10 @@ def _traverse_kernel(
             )
         return (tn <= tf) & (tf >= 0.0) & (tn < tmax) & live
 
-    def compute_chunk(slot, j):
-        """Selection-only chunk body: K-packed contraction +
-        division-free accept + best-(t, index) update."""
-        ws_blk = ws_buf[slot]  # (8, 6·tc) f32
-        w_k = (
-            _split_cat(ws_blk, 0, "hhll", terms)
-            if exact
-            else ws_blk.astype(jnp.bfloat16)
-        )
-        p = jax.lax.dot_general(
-            w_k,
-            rk_ref[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (6·tc, Rt)
+    def accept_cols(p, j, c0, cw):
+        """Division-free accept + best-(t, index) update for lane
+        columns [c0, c0+cw) given their contraction ``p`` (6·tc, cw)."""
+        sl = pl.ds(c0, cw)
         opx = p[0 * tc : 1 * tc]
         opy = p[1 * tc : 2 * tc]
         q = p[2 * tc : 3 * tc]  # −o'z (negated at pack time)
@@ -270,15 +260,51 @@ def _traverse_kernel(
         mm = jnp.minimum(jnp.minimum(beta, gamma), t)
         mm = jnp.minimum(mm, 1.0 - (beta + gamma))
         tm = jnp.where(mm > 0.0, t, _BIG)
-        c_min = jnp.min(tm, axis=0)  # (Rt,)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tc, Rt), 0)
+        c_min = jnp.min(tm, axis=0)  # (cw,)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tc, cw), 0)
         c_idx = jnp.min(
             jnp.where(tm <= c_min[None, :], col, jnp.int32(2**31 - 1)),
             axis=0,
         )
-        better = c_min < bt_ref[0, :]
-        bt_ref[0, :] = jnp.where(better, c_min, bt_ref[0, :])
-        bi_ref[0, :] = jnp.where(better, c_idx + j * tc, bi_ref[0, :])
+        bt = bt_ref[0, sl]
+        better = c_min < bt
+        bt_ref[0, sl] = jnp.where(better, c_min, bt)
+        bi_ref[0, sl] = jnp.where(better, c_idx + j * tc, bi_ref[0, sl])
+
+    def compute_chunk(slot, j, reach):
+        """Selection-only chunk body: K-packed contraction + accept,
+        gated per ``lane_group``-wide column group.
+
+        Lane-group gating (r4): on incoherent bounce wavefronts a tile
+        visits most chunks but only ~20% of its lanes can reach each
+        one — and the sort clusters reaching lanes, so whole column
+        groups are skippable. Gating the contraction + accept per
+        group cuts the dominant per-visit MXU/VPU work; the per-lane
+        ``reach`` bound makes skipping exact (a lane whose segment
+        cannot enter the chunk's AABB below its best-t cannot improve
+        there), so results are bit-identical to the ungated kernel.
+        """
+        ws_blk = ws_buf[slot]  # (8, 6·tc) f32
+        w_k = (
+            _split_cat(ws_blk, 0, "hhll", terms)
+            if exact
+            else ws_blk.astype(jnp.bfloat16)
+        )
+        lg = lane_group if lane_group else Rt
+        for g in range(Rt // lg):
+            def run_group(g=g):
+                p = jax.lax.dot_general(
+                    w_k,
+                    rk_ref[:, pl.ds(g * lg, lg)],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (6·tc, lg)
+                accept_cols(p, j, g * lg, lg)
+
+            if lane_group:
+                pl.when(jnp.any(reach[g * lg : (g + 1) * lg]))(run_group)
+            else:
+                run_group()
 
     def body(carry):
         p, n_stop = carry
@@ -286,8 +312,9 @@ def _traverse_kernel(
         j = ord_at(p)
         ws_dma(slot, j).wait()
 
-        do = jnp.any(reach_lanes(j, bt_ref[0, :]))
-        jax.lax.cond(do, lambda: compute_chunk(slot, j), lambda: None)
+        reach = reach_lanes(j, bt_ref[0, :])
+        do = jnp.any(reach)
+        jax.lax.cond(do, lambda: compute_chunk(slot, j, reach), lambda: None)
 
         # Early exit: tmin is sorted ascending, so once the NEXT
         # chunk's distance bound exceeds every live lane's best-t, no
@@ -325,7 +352,9 @@ def _traverse_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_tile", "t_chunk", "interpret", "exact", "terms"),
+    static_argnames=(
+        "ray_tile", "t_chunk", "interpret", "exact", "terms", "lane_group"
+    ),
 )
 def traverse_select(
     ws: jnp.ndarray,  # f32[8, T_pad*6] (pack_transforms_stream, Morton)
@@ -340,6 +369,7 @@ def traverse_select(
     interpret: bool = False,
     exact: bool = True,
     terms: int = 3,
+    lane_group: int = 0,
 ) -> jnp.ndarray:
     """Selection-only traversal walk: winner index i32[R] (−1 = miss),
     in the caller's (Morton-permuted) triangle order.
@@ -378,7 +408,8 @@ def traverse_select(
     K = (48 if terms == 3 else 24) if exact else 8
     idx = pl.pallas_call(
         functools.partial(
-            _traverse_kernel, t_chunk=t_chunk, exact=exact, terms=terms
+            _traverse_kernel, t_chunk=t_chunk, exact=exact, terms=terms,
+            lane_group=lane_group,
         ),
         grid=(ntiles,),
         in_specs=[
@@ -424,6 +455,7 @@ def nearest_shade_traverse(
     ws, rows, clo, chi, pos3, dir3, live=None, *,
     ray_tile: int = _RAY_TILE, t_chunk: int = 128,
     interpret: bool = False, exact: bool = True, terms: int = 3,
+    lane_group: int = 0,
 ):
     """Traversal intersector: selection walk + differentiable epilogue.
 
@@ -445,6 +477,7 @@ def nearest_shade_traverse(
             None if live is None else jax.lax.stop_gradient(live),
             ray_tile=ray_tile, t_chunk=t_chunk,
             interpret=interpret, exact=exact, terms=terms,
+            lane_group=lane_group,
         )
     )
     tbg, shade = _recompute_winner(rows, idx, pos3, dir3, interpret)

@@ -134,6 +134,12 @@ class TraceConfig:
     # RNG draws are indexed by id, so every path sees identical
     # numbers. Worth it with chunk_cull on large scenes; pure overhead
     # (an argsort + state gathers per segment) on small closed ones.
+    lane_group: int = 0  # traversal kernel: gate the per-chunk
+    # contraction + accept per this many lanes — a column group whose
+    # rays all fail the chunk's slab test skips its MXU/VPU work
+    # entirely (sorted wavefronts cluster reaching lanes, so whole
+    # groups skip on incoherent bounce segments). 0 = auto
+    # (off for ray_tile ≤ 512, 512 above); bit-identical results.
     sort_dir_bits: int = 3  # direction resolution of the wavefront
     # sort key (ray_sort_keys): 3 = octant (the r3 layout), 6 = one
     # extra Morton level per axis — tighter per-tile direction cones
@@ -326,12 +332,20 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             r512 = -(-pos3.shape[1] // 512) * 512
             kw = {"ray_tile": config.ray_tile or min(default_rt, r512)}
             if traverse:
+                # Measured on the 82k-tri bunny (r4): 256-lane groups
+                # are the sweet spot (0.625 vs 0.519 Msamples/s
+                # ungated; 512 → 0.572, 128 → 0.549 — branch overhead).
+                rt = kw["ray_tile"]
+                lg = config.lane_group or (256 if rt > 512 else 0)
+                if lg >= rt:
+                    lg = 0
                 idx, tbg, shade = nearest_shade_traverse_diff(
                     ws, rows, clo, chi, pos3, dir3, live,
                     t_chunk=sc,
                     interpret=config.pallas_interpret,
                     exact=exact,
                     terms=terms,
+                    lane_group=lg,
                     **kw,
                 )
             else:

@@ -164,3 +164,42 @@ def test_traverse_gradients_match_brute():
     np.testing.assert_allclose(
         grads["traverse"], grads["brute"], rtol=2e-3
     )
+
+
+def test_lane_group_gating_is_bit_identical():
+    """Lane-group gating (skip column groups whose rays can't reach the
+    chunk) must be bit-identical to the ungated walk — the per-lane
+    reach bound makes skipping exact."""
+    from montecarlopathtracer_tpu.ops.intersect import triangle_transforms
+    from montecarlopathtracer_tpu.ops.intersect_pallas import (
+        pack_transforms_stream,
+        morton_order,
+        chunk_aabbs_padded,
+    )
+    from montecarlopathtracer_tpu.ops.traverse_pallas import traverse_select
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True, width=32, height=32
+    )
+    a, b, c = scene.triangle_vertices()
+    m, m_a = triangle_transforms(a, b, c)
+    perm = morton_order(a, b, c, scene.tri_valid)
+    sc = 128
+    ws = pack_transforms_stream(
+        m[perm], m_a[perm], scene.tri_valid[perm], sc
+    )
+    clo, chi = chunk_aabbs_padded(a, b, c, scene.tri_valid, perm, sc)
+    R = 32 * 32
+    pix = jnp.arange(R)
+    pos3, dir3 = cam.generate_rays_soa(
+        pix % 32, pix // 32, jnp.zeros(R), jnp.zeros(R), 32, 32
+    )
+    base = traverse_select(
+        ws, clo, chi, pos3, dir3, t_chunk=sc, ray_tile=512, interpret=True
+    )
+    for lg in (256, 128):
+        out = traverse_select(
+            ws, clo, chi, pos3, dir3, t_chunk=sc, ray_tile=512,
+            interpret=True, lane_group=lg,
+        )
+        assert bool(jnp.all(out == base)), lg
