@@ -258,7 +258,9 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         elif config.chunk_cull:
             sc = 128
         elif traverse:
-            sc = 256
+            # r4 bunny sweep WITH lane-group gating: 512 beats 256
+            # (0.647 vs 0.625 Msamples/s; 768 → 0.616, 1024 → 0.575).
+            sc = 512
         elif T128 <= 4096:
             # Small scene: ONE grid group holding the whole (128-
             # padded) triangle axis, processed as fine 128-chunks

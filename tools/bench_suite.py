@@ -161,6 +161,53 @@ def main() -> int:
             ("scene1_kdtree_lax", s1, c1, mk("kdtree"), 256, 192, 1, 1, kd1)
         )
 
+    # fwd+bwd at scale (VERDICT r3 #3): gradient of an L2 pixel loss
+    # through the traversal intersector on the 82k-tri bunny.
+    def bunny_grad_row():
+        import time as _t
+
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from montecarlopathtracer_tpu.diff.grad import (
+            make_loss_fn,
+            split_params,
+        )
+
+        cfg = TraceConfig(
+            mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
+            intersector="traverse", ray_sort=True,
+            remat_segments=False, unroll_segments=True,
+        )
+        w = h = 512
+        loss_fn = make_loss_fn(
+            sb, cb, jnp.zeros((h, w, 3), jnp.float32),
+            width=w, height=h, spp=1, config=cfg,
+        )
+        params = split_params(sb, ("mat_kd", "mat_ka"))
+        vg = _jax.jit(_jax.value_and_grad(loss_fn))
+        t0 = _t.perf_counter()
+        loss, _ = vg(params, _jax.random.key(3))
+        float(loss)
+        compile_s = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        reps = 3
+        for i in range(reps):
+            loss, _ = vg(params, _jax.random.key(4 + i))
+        float(loss)
+        dt = (_t.perf_counter() - t0) / reps
+        rec = {
+            "config": "bunny_grad_fwdbwd",
+            "tris": int(sb.num_triangles),
+            "res": f"{w}x{h}",
+            "spp_x_passes": "1x1 (fwd+bwd)",
+            "compile_s": round(compile_s, 1),
+            "msamples_s": round(w * h / dt / 1e6, 3),
+            "mray_segments_s": round(w * h / dt / 1e6 * 8, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
     # Cull-mode rows last: their execution has hung the TPU worker in
     # some sessions (runtime flakiness); everything before them banks.
     plan = [
@@ -179,6 +226,16 @@ def main() -> int:
             print(json.dumps({"config": row[0], "error": str(e)[:200]}),
                   flush=True)
             results.append({"config": row[0], "error": str(e)[:200]})
+        _write(args, results)
+
+    if not args.only or args.only in "bunny_grad_fwdbwd":
+        try:
+            results.append(bunny_grad_row())
+        except Exception as e:
+            print(json.dumps({"config": "bunny_grad_fwdbwd",
+                              "error": str(e)[:200]}), flush=True)
+            results.append({"config": "bunny_grad_fwdbwd",
+                            "error": str(e)[:200]})
         _write(args, results)
 
     _write(args, results)
