@@ -91,7 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="'auto' = on TPU, the traversal megakernel for large "
         "scenes and the streamed megakernel otherwise; brute elsewhere. "
         "'kdtree' builds the accelerator (native C++ builder when "
-        "available)",
+        "available) — a CPU correctness oracle; its per-lane while_loop "
+        "walk faults the TPU runtime at render scale (PERF.md r4)",
     )
     p.add_argument(
         "--chunk-cull",
