@@ -150,14 +150,23 @@ def sample_fresnel(
     refract = u < tr_eff
     entering = ndoti <= 0.0
 
+    def _sqrt_nonneg(x):
+        # sqrt(max(x, 0)) with a NaN-free backward: d(sqrt) at 0 is ∞,
+        # and reverse-mode multiplies it by the (zero) cotangent of the
+        # where-unselected branch — 0·∞ = NaN (r4: this poisoned vertex
+        # gradients through the megakernel whenever any lane sat
+        # exactly at the TIR/grazing boundary). Same forward values.
+        pos = x > 0.0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
     # Entering: alpha = -n·i/Ni - sqrt(1 - (1 - (n·i)^2)/Ni^2)
-    in_rad = jnp.maximum(1.0 - (1.0 - ndoti * ndoti) / (ni * ni), 0.0)
-    in_alpha = -ndoti / ni - jnp.sqrt(in_rad)
+    in_rad = 1.0 - (1.0 - ndoti * ndoti) / (ni * ni)
+    in_alpha = -ndoti / ni - _sqrt_nonneg(in_rad)
     d_in = normalize3(normal * in_alpha[None, :] + indir / ni[None, :])
 
     # Exiting: test = 1 - (1 - (n·i)^2) Ni^2 ; TIR when test < 0
     test = 1.0 - (1.0 - ndoti * ndoti) * ni * ni
-    out_alpha = -ndoti * ni + jnp.sqrt(jnp.maximum(test, 0.0))
+    out_alpha = -ndoti * ni + _sqrt_nonneg(test)
     d_out = normalize3(normal * out_alpha[None, :] + indir * ni[None, :])
 
     d_reflect = _reflect(indir, normal)

@@ -170,6 +170,11 @@ class TraceConfig:
     #   kernel, and residual traffic drops to 3 arrays/segment.
     #   Fastest measured fwd+bwd (PERF.md r4); requires a Pallas-path
     #   intersector ("megakernel"/"traverse").
+    fused_epilogue: bool = False  # run each segment's post-intersector
+    # work (masking + normal interp + all three samplers + state
+    # update) as ONE Pallas kernel per direction instead of ~50 XLA
+    # fusions (ops/segment_pallas.py). Random streams are unchanged
+    # (uniforms stay host-drawn inputs). Pallas-intersector paths only.
     unroll_segments: bool = False  # unroll the segment scan (8-16
     # bodies inline). For GRADIENT renders with remat_segments=False
     # this removes the per-step residual-stacking writes — the scan
@@ -327,7 +332,7 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
         if traverse:
             from ..ops.traverse_pallas import nearest_shade_traverse_diff
 
-        def intersect_shade(pos3, dir3, live=None):
+        def intersect_raw(pos3, dir3, live=None):
             if live is None:
                 live = jnp.ones((pos3.shape[1],), bool)
             # Don't blow a small wavefront up to the big default tile.
@@ -371,6 +376,10 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 idx = checkpoint_name(idx, "mcpt_seg")
                 tbg = checkpoint_name(tbg, "mcpt_seg")
                 shade = checkpoint_name(shade, "mcpt_seg")
+            return idx, tbg, shade
+
+        def intersect_shade(pos3, dir3, live=None):
+            idx, tbg, shade = intersect_raw(pos3, dir3, live)
             # NOTE on layouts (r4 measurement): per-ray scalars stay
             # 1-D [R] on purpose. An experiment moving them to [1, R]
             # rows (to avoid the T(1024) relayout each [R] slice pays)
@@ -407,6 +416,7 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 ni=jnp.where(hitf > 0.0, shade[20], 1.0),
             )
 
+        intersect_shade.raw = intersect_raw
         return intersect_shade
 
     if config.intersector == "brute":
@@ -487,6 +497,12 @@ def trace_radiance_soa(
         "megakernel",
         "traverse",
     )
+    use_fused = config.fused_epilogue and config.intersector in (
+        "megakernel",
+        "traverse",
+    )
+    if use_fused:
+        from ..ops.segment_pallas import segment_epilogue
     if use_sort:
         from ..ops.intersect_pallas import ray_sort_keys
 
@@ -534,6 +550,41 @@ def trace_radiance_soa(
         def draw(sid):
             u = stream_uniform(key, sid, (R,))
             return u[rid] if use_sort else u
+
+        if use_fused:
+            # Fused segment epilogue (ops/segment_pallas.py): identical
+            # semantics and random streams, one Pallas call per
+            # direction instead of ~50 XLA fusions + their relayouts.
+            idx, tbg, shade = intersect_shade.raw(pos, dir_, active)
+            u1 = draw(seg_idx * 4 + 0)
+            u2 = draw(seg_idx * 4 + 1)
+            if config.mode == "rr":
+                u_rr = draw(seg_idx * 4 + 3)
+                fg = jnp.float32(0.0)
+                do_rr = (
+                    (seg_idx >= config.rr_depth)
+                    & (seg_idx < 3 * config.rr_depth)
+                ).astype(jnp.float32)
+                hard_kill = (seg_idx >= 3 * config.rr_depth).astype(
+                    jnp.float32
+                )
+            else:
+                u_rr = jnp.zeros_like(u1)
+                fg = (seg_idx == config.max_depth).astype(jnp.float32)
+                do_rr = hard_kill = jnp.float32(0.0)
+            flags = jnp.stack(
+                [fg, jnp.float32(do_rr), jnp.float32(hard_kill)]
+            ).reshape(3, 1)
+            new_pos, new_dir, new_tput, result, still = segment_epilogue(
+                pos, dir_, tput, result, active, tbg, shade,
+                u1, u2, u_rr, flags,
+                mode=config.mode, illum=config.illum,
+                eps_offset=config.eps_offset,
+                refract_kd=config.refract_kd,
+                phong_model=config.phong_model,
+                interpret=config.pallas_interpret,
+            )
+            return (new_pos, new_dir, new_tput, result, still, rid), None
 
         s = intersect_shade(pos, dir_, active)
         miss = s["miss"]
