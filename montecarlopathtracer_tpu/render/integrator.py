@@ -110,11 +110,10 @@ class TraceConfig:
     # whereas the older kernels recomputed those values in exact f32
     # outside the kernel (`_refine_winner_soa`). "default" is a
     # bench/ablation mode, not a production setting.
-    ray_tile: int = 0  # rays per megakernel grid tile (0 = default
-    # 512). Bigger tiles make FEWER passes over the streamed triangle
-    # data — total ws DMA per segment is (R/ray_tile)·sizeof(ws) — at
-    # the cost of more VMEM per step; 1024-2048 pays off at bunny
-    # scale where the stream is DMA-bound.
+    ray_tile: int = 0  # rays per megakernel grid tile (0 = auto:
+    # 2048, or 512 with chunk_cull). Bigger tiles make FEWER passes
+    # over the streamed triangle data — total ws DMA per segment is
+    # (R/ray_tile)·sizeof(ws) — at the cost of more VMEM per step.
     stream_chunk: int = 0  # triangles per streamed-kernel chunk
     # (0 = auto: 256, or 128 when chunk_cull — finer chunks cull
     # better). The streamed kernel pads the triangle axis internally.
