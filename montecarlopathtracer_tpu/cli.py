@@ -154,6 +154,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--out", default="result.png")
     p.add_argument("--step-dir", default=None, help="per-pass PNG dump dir")
+    p.add_argument(
+        "--preview",
+        action="store_true",
+        help="with --step-dir: keep an atomically-updated preview.png "
+        "+ a self-refreshing index.html for a live progressive view "
+        "(the reference's cvShowImage/swapchain capability)",
+    )
     p.add_argument("--checkpoint", default=None, help="film checkpoint path")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument(
@@ -305,6 +312,7 @@ def main(argv=None) -> int:
         tonemap=args.tonemap,
         accum=args.accum,
         step_dir=args.step_dir,
+        preview=args.preview,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
     )

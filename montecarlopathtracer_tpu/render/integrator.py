@@ -526,25 +526,31 @@ def trace_radiance_soa(
                 pos, dir_, aabb_lo, aabb_hi, config.sort_dir_bits
             )
             skeys = jnp.where(active, skeys, jnp.uint32(0xFFFFFFFF))
-            sorted_ = jax.lax.sort(
-                (
-                    skeys,
-                    pos[0], pos[1], pos[2],
-                    dir_[0], dir_[1], dir_[2],
-                    tput[0], tput[1], tput[2],
-                    result[0], result[1], result[2],
-                    active.astype(jnp.uint8),
-                    rid,
-                ),
+            # Two-operand (key, iota) sort + ONE 14-row gather. r3
+            # shipped a single 15-payload lax.sort instead; r4
+            # measured that the variadic wide sort is the reason every
+            # ray-sorted config compiled in 160-180 s (everything else
+            # in those programs compiles in seconds) AND is far slower
+            # at runtime than its narrow form (isolated: 15 s vs 20 ms
+            # per 480k-ray call). rid rides the gather as f32 (exact
+            # below 2^24 rays).
+            perm = jax.lax.sort(
+                (skeys, jnp.arange(R, dtype=jnp.int32)),
                 dimension=0,
                 num_keys=1,
-            )
-            pos = jnp.stack(sorted_[1:4], axis=0)
-            dir_ = jnp.stack(sorted_[4:7], axis=0)
-            tput = jnp.stack(sorted_[7:10], axis=0)
-            result = jnp.stack(sorted_[10:13], axis=0)
-            active = sorted_[13] > 0
-            rid = sorted_[14]
+            )[1]
+            state = jnp.concatenate(
+                [
+                    pos, dir_, tput, result,
+                    active.astype(jnp.float32)[None, :],
+                    rid.astype(jnp.float32)[None, :],
+                ],
+                axis=0,
+            )  # (14, R)
+            g = state.T[perm].T
+            pos, dir_, tput, result = g[0:3], g[3:6], g[6:9], g[9:12]
+            active = g[12] > 0.0
+            rid = g[13].astype(jnp.int32)
 
         def draw(sid):
             u = stream_uniform(key, sid, (R,))

@@ -57,6 +57,11 @@ class RenderSettings:
     accum: str = "linear"  # "linear" (CUDA) or "gamma" (MCRT's biased
     # gamma-space running mean, rtx.hlsl:400-404)
     step_dir: Optional[str] = None  # per-pass PNG dumps when set
+    preview: bool = False  # with step_dir: also keep `preview.png`
+    # (latest frame, atomically replaced) + a self-refreshing
+    # `index.html` — open it in any browser for a live progressive
+    # view. The TPU-era stand-in for the reference's cvShowImage /
+    # swapchain present (CUTracer.cu:392-393, GraphicsRTX.cpp:211-230).
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0  # passes between checkpoints (0 = off)
 
@@ -202,10 +207,13 @@ class Renderer:
                     noise=round(float(np.sqrt(m2)) / max(weight, 1e-20), 6),
                 )
             if s.step_dir:
+                img_u8 = self.image_u8()
                 save_png(
                     os.path.join(s.step_dir, f"step{self.pass_idx - 1:06d}.png"),
-                    self.image_u8(),
+                    img_u8,
                 )
+                if s.preview:
+                    self._write_preview(img_u8)
             if (
                 s.checkpoint_path
                 and s.checkpoint_every
@@ -215,6 +223,29 @@ class Renderer:
         if s.checkpoint_path:
             self.save_checkpoint(s.checkpoint_path)
         return self.film
+
+    def _write_preview(self, img_u8: np.ndarray) -> None:
+        """Live progressive preview: atomically replace preview.png and
+        (once) write a self-refreshing viewer page next to it."""
+        s = self.settings
+        tmp = os.path.join(s.step_dir, ".preview.tmp.png")
+        save_png(tmp, img_u8)
+        os.replace(tmp, os.path.join(s.step_dir, "preview.png"))
+        index = os.path.join(s.step_dir, "index.html")
+        if not os.path.exists(index):
+            with open(index, "w") as f:
+                f.write(
+                    "<!doctype html><title>montecarlopathtracer_tpu"
+                    " preview</title>\n"
+                    "<body style='margin:0;background:#111;display:flex;"
+                    "align-items:center;justify-content:center;"
+                    "height:100vh'>\n"
+                    "<img id=v style='image-rendering:pixelated;"
+                    "max-width:100vw;max-height:100vh'>\n"
+                    "<script>const v=document.getElementById('v');\n"
+                    "setInterval(()=>{v.src='preview.png?'+Date.now()},"
+                    "1000);v.src='preview.png';</script>\n"
+                )
 
     def image_u8(self) -> np.ndarray:
         if self.settings.accum == "gamma":
