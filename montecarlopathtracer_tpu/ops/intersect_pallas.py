@@ -1057,22 +1057,13 @@ def _mega_kernel_v4(
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
     Rt = idx_ref.shape[1]
-    assert t_chunk % sub == 0, (t_chunk, sub)
-    tc = t_chunk // sub  # fine-chunk size (== t_chunk when sub == 1)
 
     @pl.when(ci == 0)
     def _():
-        rays = rays_ref[:]  # (8, Rt) f32
-        rk_ref[:] = (
-            _split_cat(rays, 0, "hlhl", terms)
-            if exact
-            else rays.astype(jnp.bfloat16)
+        _v4_init_tile(
+            rays_ref, rk_ref, bt_ref, bi_ref, bb_ref, bg_ref, brow_ref,
+            exact=exact, terms=terms,
         )
-        bt_ref[0, :] = jnp.full((Rt,), _BIG, jnp.float32)
-        bi_ref[0, :] = jnp.full((Rt,), 2**31 - 1, jnp.int32)
-        bb_ref[0, :] = jnp.zeros((Rt,), jnp.float32)
-        bg_ref[0, :] = jnp.zeros((Rt,), jnp.float32)
-        brow_ref[:] = jnp.zeros_like(brow_ref)
 
     live = live_ref[0, :] > 0.0
     if cull:
@@ -1085,6 +1076,56 @@ def _mega_kernel_v4(
 
     @pl.when(run)
     def _():
+        _v4_process_chunk(
+            ws_ref, rows_ref, rk_ref, bt_ref, bi_ref, bb_ref, bg_ref,
+            brow_ref, ci, t_chunk=t_chunk, exact=exact, terms=terms,
+            sub=sub,
+        )
+
+    @pl.when(ci == nc - 1)
+    def _():
+        hit = bt_ref[0, :] < _BIG
+        hitf = hit.astype(jnp.float32)
+        idx_ref[0, :] = jnp.where(hit, bi_ref[0, :], jnp.int32(-1))
+        tbg_ref[0, :] = jnp.where(hit, bt_ref[0, :], _BIG)
+        tbg_ref[1, :] = bb_ref[0, :] * hitf
+        tbg_ref[2, :] = bg_ref[0, :] * hitf
+        tbg_ref[3, :] = hitf
+        shade_ref[:] = brow_ref[:] * hitf[None, :]
+
+
+def _v4_init_tile(
+    rays_ref, rk_ref, bt_ref, bi_ref, bb_ref, bg_ref, brow_ref,
+    *, exact: bool, terms: int,
+):
+    """Per-ray-tile scratch init for the v4 chunk loop (runs at the
+    first chunk step): cache the exact split packing of the rays and
+    reset the winner accumulators."""
+    Rt = bt_ref.shape[1]
+    rays = rays_ref[:]  # (8, Rt) f32
+    rk_ref[:] = (
+        _split_cat(rays, 0, "hlhl", terms)
+        if exact
+        else rays.astype(jnp.bfloat16)
+    )
+    bt_ref[0, :] = jnp.full((Rt,), _BIG, jnp.float32)
+    bi_ref[0, :] = jnp.full((Rt,), 2**31 - 1, jnp.int32)
+    bb_ref[0, :] = jnp.zeros((Rt,), jnp.float32)
+    bg_ref[0, :] = jnp.zeros((Rt,), jnp.float32)
+    brow_ref[:] = jnp.zeros_like(brow_ref)
+
+
+def _v4_process_chunk(
+    ws_ref, rows_ref, rk_ref, bt_ref, bi_ref, bb_ref, bg_ref, brow_ref,
+    ci, *, t_chunk: int, exact: bool, terms: int, sub: int,
+):
+    """One grid step of the v4 winner loop (shared by
+    `_mega_kernel_v4` and the whole-segment kernel in
+    ops/segment_fused.py; extracted verbatim in r5 — bit-identical)."""
+    assert t_chunk % sub == 0, (t_chunk, sub)
+    tc = t_chunk // sub  # fine-chunk size (== t_chunk when sub == 1)
+    Rt = bt_ref.shape[1]
+    if True:
         # Transform chunks stream as compact f32 (8, 6·tc·sub) and the
         # exact K=48 split packing is built HERE, per chunk — 3× less
         # HBM traffic than streaming pre-split bf16 (the binding
@@ -1172,17 +1213,6 @@ def _mega_kernel_v4(
             bb_ref[0, :] = jnp.where(better, b_c, bb_ref[0, :])
             bg_ref[0, :] = jnp.where(better, g_c, bg_ref[0, :])
             brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
-
-    @pl.when(ci == nc - 1)
-    def _():
-        hit = bt_ref[0, :] < _BIG
-        hitf = hit.astype(jnp.float32)
-        idx_ref[0, :] = jnp.where(hit, bi_ref[0, :], jnp.int32(-1))
-        tbg_ref[0, :] = jnp.where(hit, bt_ref[0, :], _BIG)
-        tbg_ref[1, :] = bb_ref[0, :] * hitf
-        tbg_ref[2, :] = bg_ref[0, :] * hitf
-        tbg_ref[3, :] = hitf
-        shade_ref[:] = brow_ref[:] * hitf[None, :]
 
 
 @functools.partial(
@@ -1335,10 +1365,16 @@ def _recompute_from_full(full, hit, pos3, dir3):
     return tbg, shade
 
 
-def _scatter_rows_kernel(idx_ref, dvk_ref, out_ref, acc_ref, *, terms: int):
+def _scatter_rows_kernel(
+    idx_ref, dvk_ref, out_ref, acc_ref, *, terms: int, t_sub: int
+):
     """One-hot-matmul scatter-add body (see `scatter_rows`). Grid =
     ray tiles (sequential); the (T_pad, 48) accumulator lives in VMEM
-    scratch across steps."""
+    scratch across steps. The triangle axis is processed in ``t_sub``
+    sub-chunks so the (t_sub, Rt) one-hot + iota intermediates stay
+    VMEM-bounded independent of T_pad (a whole-T one-hot at
+    T_pad=16384, Rt=2048 would be a ~134 MB iota — ADVICE r4; same
+    MXU brick count either way)."""
     ti = pl.program_id(0)
     nt = pl.num_programs(0)
     T = out_ref.shape[0]
@@ -1349,18 +1385,19 @@ def _scatter_rows_kernel(idx_ref, dvk_ref, out_ref, acc_ref, *, terms: int):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     idx = idx_ref[0, :]  # (Rt,) i32; -1 = miss/padding → matches no row
-    tri = jax.lax.broadcasted_iota(jnp.int32, (T, Rt), 0)
-    onehot = (tri == idx[None, :]).astype(jnp.bfloat16)
-    p = jax.lax.dot_general(
-        onehot,  # (T, Rt)
-        dvk_ref[:],  # (terms·48, Rt) bf16 truncation stack
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, terms·48)
-    d = p[:, 0:48]
-    for k in range(1, terms):
-        d = d + p[:, 48 * k : 48 * (k + 1)]
-    acc_ref[:] += d
+    tri = jax.lax.broadcasted_iota(jnp.int32, (t_sub, Rt), 0)
+    for ts in range(T // t_sub):
+        onehot = (tri + ts * t_sub == idx[None, :]).astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            onehot,  # (t_sub, Rt)
+            dvk_ref[:],  # (terms·48, Rt) bf16 truncation stack
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (t_sub, terms·48)
+        d = p[:, 0:48]
+        for k in range(1, terms):
+            d = d + p[:, 48 * k : 48 * (k + 1)]
+        acc_ref[ts * t_sub : (ts + 1) * t_sub, :] += d
 
     @pl.when(ti == nt - 1)
     def _():
@@ -1391,8 +1428,12 @@ def scatter_rows(
     (f32 add is not associative) — same error class as any reduction
     reordering.
 
-    VMEM bound: the (T_pad, 48) f32 accumulator must fit in scratch —
-    callers fall back to `.at[].add` above ~16k triangles.
+    VMEM bound: the triangle axis is sub-chunked in-kernel (≤512 rows
+    per one-hot), so the binding constraint is the (T_pad, 48) f32
+    accumulator (scratch + out block ≈ 384 B/tri) — callers fall back
+    to `.at[].add` above `_SCATTER_ROWS_MAX_T` (~6 MB of accumulator
+    at 16k). MXU cost is O(T_pad·R), so very large T wants the XLA
+    scatter anyway.
     """
     R = idx.shape[0]
     pad = (-R) % ray_tile
@@ -1410,8 +1451,11 @@ def scatter_rows(
     else:
         dvk = dvals.astype(jnp.bfloat16)
         terms = 1
+    t_sub = 512
+    while T_pad % t_sub:
+        t_sub //= 2  # T_pad is always a multiple of 128
     out = pl.pallas_call(
-        functools.partial(_scatter_rows_kernel, terms=terms),
+        functools.partial(_scatter_rows_kernel, terms=terms, t_sub=t_sub),
         grid=(Rp // ray_tile,),
         in_specs=[
             pl.BlockSpec(
@@ -1597,6 +1641,11 @@ def ray_sort_keys(
     wavefronts have near-total union reach. Origin locality dominates
     (tiles share reach), direction refines.
     """
+    if dir_bits not in (3, 6):
+        # Other values would reserve dir_bits key bits but fill fewer
+        # (b = dir_bits // 3 Morton bits per axis), leaving dead bit
+        # positions in the key (ADVICE r4).
+        raise ValueError(f"dir_bits must be 3 or 6, got {dir_bits}")
     span = jnp.maximum(hi - lo, 1e-20)
     q = jnp.clip((pos3 - lo[:, None]) / span[:, None], 0.0, 1.0)
     qi = (q * 511.0).astype(jnp.uint32)  # 9 bits/axis
@@ -1628,11 +1677,18 @@ def ray_sort_keys(
     # frustum reaches far fewer chunks than a patch × hemisphere one,
     # which is what the traversal kernel's per-tile lists feed on
     # (bounce wavefronts; primary rays share the direction bin anyway).
-    # Fit in u32: 15 coarse origin bits at dir_bits ≤ 5 (the r3-tuned
-    # layout), one fewer at 6.
-    coarse = morton >> (12 if dir_bits <= 5 else 13)
-    fine = morton & jnp.uint32(0xFFF)
-    return (coarse << (12 + dir_bits)) | (dkey << 12) | fine
+    # Fit in u32: dir_bits=3 → 15 coarse | 3 dir | 12 fine (the
+    # r3-tuned layout); dir_bits=6 → 13 coarse | 6 dir | 13 fine —
+    # the extra direction bits trade away one TOP coarse bit (the
+    # least useful), and the coarse/fine split stays gap-free so no
+    # origin Morton bit is dropped from the key (ADVICE r4).
+    if dir_bits == 3:
+        coarse = morton >> 12
+        fine = morton & jnp.uint32(0xFFF)
+        return (coarse << 15) | (dkey << 12) | fine
+    coarse = (morton >> 13) & jnp.uint32(0x1FFF)
+    fine = morton & jnp.uint32(0x1FFF)
+    return (coarse << 19) | (dkey << 13) | fine
 
 
 def morton_order(

@@ -381,6 +381,12 @@ def traverse_select(
     R = pos3.shape[1]
     K_T6 = ws.shape[1]
     assert K_T6 % (6 * t_chunk) == 0, (K_T6, t_chunk)
+    if lane_group and ray_tile % lane_group:
+        # A non-divisor would leave the tail lanes of every tile
+        # untested against any chunk (ADVICE r4).
+        raise ValueError(
+            f"lane_group {lane_group} must divide ray_tile {ray_tile}"
+        )
     nc = K_T6 // (6 * t_chunk)
     assert clo.shape == (nc, 3) and chi.shape == (nc, 3), (clo.shape, nc)
     if live is None:

@@ -345,6 +345,14 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 lg = config.lane_group or (256 if rt > 512 else 0)
                 if lg >= rt:
                     lg = 0
+                # The kernel iterates Rt // lane_group column groups; a
+                # non-divisor would silently leave the tail lanes
+                # untested (ADVICE r4). Clamp to the largest 128-aligned
+                # divisor of the tile.
+                while lg and rt % lg:
+                    lg -= 128
+                if lg and rt % lg:
+                    lg = 0
                 idx, tbg, shade = nearest_shade_traverse_diff(
                     ws, rows, clo, chi, pos3, dir3, live,
                     t_chunk=sc,
@@ -431,6 +439,20 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
     elif config.intersector == "kdtree":
         if accel is None:
             raise ValueError("intersector='kdtree' requires accel=KDArrays")
+        if jax.default_backend() == "tpu":
+            # The per-lane stackless KD walk (ops/traverse.py) is a
+            # CPU/interpret correctness oracle for the KD-tree builder.
+            # On the TPU runtime its per-lane while_loop + gather
+            # pattern reproducibly faults the device (UNAVAILABLE,
+            # 2/2 fresh processes — BENCH_SCENES r4, repro probe:
+            # tools/tpu_check.py). Refuse before dispatch rather than
+            # kill the runtime; the TPU-native tree-traversal path is
+            # intersector="traverse" (ops/traverse_pallas.py).
+            raise RuntimeError(
+                "intersector='kdtree' is a CPU-only oracle: the "
+                "per-lane KD walk faults the TPU runtime (see "
+                "PERF.md). Use intersector='traverse' on TPU."
+            )
         from ..ops.traverse import intersect_kdtree
 
         def intersect(o, d):
@@ -496,6 +518,14 @@ def trace_radiance_soa(
         "megakernel",
         "traverse",
     )
+    if use_sort and R >= 2**24:
+        # rid rides the sort gather as f32 (exact only below 2^24);
+        # beyond that, ray ids would silently corrupt per-ray RNG
+        # streams and the final scatter-back (ADVICE r4).
+        raise ValueError(
+            f"ray_sort supports wavefronts < 2^24 rays, got {R}; "
+            "tile the frame with TraceConfig.ray_chunk"
+        )
     use_fused = config.fused_epilogue and config.intersector in (
         "megakernel",
         "traverse",
@@ -518,10 +548,6 @@ def trace_radiance_soa(
             # Terminated rays sort to the END: they compact into
             # all-dead kernel tiles, which the traversal kernel skips
             # at n_reach=0 cost — free wavefront compaction.
-            # ONE multi-payload lax.sort carries all 13 state rows with
-            # the key: measured 13.9 ms vs 76 ms for argsort + six
-            # permutation gathers at R=1M (each XLA gather pays ~12 ms
-            # of per-element addressing regardless of row width).
             skeys = ray_sort_keys(
                 pos, dir_, aabb_lo, aabb_hi, config.sort_dir_bits
             )

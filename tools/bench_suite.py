@@ -147,7 +147,18 @@ def main() -> int:
         # worst case) — VERDICT r2 missing #3
         ("scene1_rr_megakernel", s1, c1, mk(mode="rr"), 800, 600, spp, passes, None),
     ]
-    if args.kdtree:
+    kd_skip = None
+    if args.kdtree and jax.default_backend() == "tpu":
+        # Typed skip, not an error row: the per-lane KD walk is a
+        # CPU-only oracle — on TPU it reproducibly faulted the runtime
+        # (r4) and is now fenced before dispatch (integrator raises).
+        kd_skip = {
+            "config": "scene1_kdtree_lax",
+            "skipped": "cpu-only oracle; fenced on TPU backend "
+            "(faults the runtime — PERF.md r4). TPU tree path: "
+            "intersector='traverse'.",
+        }
+    elif args.kdtree:
         from montecarlopathtracer_tpu.accel.kdtree import build_flat_kdtree
         from montecarlopathtracer_tpu.ops.traverse import KDArrays
 
@@ -217,6 +228,9 @@ def main() -> int:
         )
     ]
     results = []
+    if kd_skip is not None and (not args.only or args.only in kd_skip["config"]):
+        print(json.dumps(kd_skip), flush=True)
+        results.append(kd_skip)
     for row in plan:
         if args.only and args.only not in row[0]:
             continue
