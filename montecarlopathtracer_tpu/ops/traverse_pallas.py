@@ -91,35 +91,59 @@ def tile_chunk_order(
     clo: jnp.ndarray,  # f32[nc, 3] chunk AABB lows
     chi: jnp.ndarray,  # f32[nc, 3] chunk AABB highs
     ray_tile: int,
+    lane_group: int = 0,
 ):
     """Per-tile front-to-back chunk traversal lists (host/XLA side).
 
     Returns ``(order i32[ntiles8, nc], tmins f32[ntiles8, nc],
-    n_reach i32[ntiles8, 1])`` with the tile axis padded to a multiple
-    of 8 (the kernel reads them through (8, nc) SMEM blocks).
+    gmask i32[ntiles8, nc], n_reach i32[ntiles8, 1])`` with the tile
+    axis padded to a multiple of 8 (the kernel reads them through
+    (8, nc) SMEM blocks).
+
+    The frustum test runs per LANE GROUP (``lane_group`` lanes; the
+    kernel's compute-gating granularity) rather than per tile — r5:
+    on a sorted bounce wavefront a 2048-ray tile spans several origin
+    cells with mixed direction octants, so its per-tile direction
+    bounds admit every axis and the tile-level frustum prunes almost
+    nothing (the measured ~75%-of-chunks bounce visit rate, PERF.md
+    r4). Group frustums are tight (the sort key clusters origin AND
+    direction), and:
+
+    - a chunk enters the tile's walk list only if SOME group reaches
+      it — ``n_reach`` shrinks, which cuts visits AND their DMA;
+    - ``gmask`` bit g tells the kernel that group g's host frustum
+      reaches the chunk, so non-reaching groups skip their MXU/VPU
+      work without consulting the runtime slab test. Conservative
+      (interval test over the group's live rays), so results stay
+      bit-identical.
 
     - reach: chunk survives iff for every axis on which the chunk box
-      is strictly disjoint from the tile's live-ray origin box, some
-      live ray's direction component points toward it (conservative
-      interval test — never excludes a reachable chunk).
-    - tmin: Euclidean distance between the two boxes — a lower bound on
-      the ray parameter t of ANY hit inside the chunk for unit-length
-      directions, which is what makes the kernel's early exit sound.
+      is strictly disjoint from the group's live-ray origin box, some
+      live ray's direction component points toward it (conservative —
+      never excludes a reachable chunk).
+    - tmin: Euclidean distance between origin box and chunk box — a
+      lower bound on the ray parameter t of ANY hit inside the chunk
+      for unit-length directions (min over reaching groups), which is
+      what makes the kernel's early exit sound.
     """
     Rp = pos3.shape[1]
     ntiles = Rp // ray_tile
     nc = clo.shape[0]
-    lv = (live.reshape(ntiles, ray_tile) > 0.0)[:, None, :]  # [nt,1,rt]
-    p = pos3.reshape(3, ntiles, ray_tile).transpose(1, 0, 2)  # [nt,3,rt]
-    d = dir3.reshape(3, ntiles, ray_tile).transpose(1, 0, 2)
+    lg = lane_group if lane_group else ray_tile
+    ng = ray_tile // lg
+    assert ng * lg == ray_tile and ng <= 32, (ray_tile, lane_group)
+    nt_g = ntiles * ng
+    lv = (live.reshape(nt_g, lg) > 0.0)[:, None, :]  # [ntg,1,lg]
+    p = pos3.reshape(3, nt_g, lg).transpose(1, 0, 2)  # [ntg,3,lg]
+    d = dir3.reshape(3, nt_g, lg).transpose(1, 0, 2)
     big = jnp.float32(_BIG)
-    olo = jnp.min(jnp.where(lv, p, big), axis=2)  # [nt, 3]
+    olo = jnp.min(jnp.where(lv, p, big), axis=2)  # [ntg, 3]
     ohi = jnp.max(jnp.where(lv, p, -big), axis=2)
     dlo = jnp.min(jnp.where(lv, d, big), axis=2)
     dhi = jnp.max(jnp.where(lv, d, -big), axis=2)
-    any_live = lv.any(axis=2)  # [nt, 1]
+    any_live = lv.any(axis=2)  # [ntg, 1]
 
-    # [nt, nc, 3] gaps: chunk strictly above / below the origin box.
+    # [ntg, nc, 3] gaps: chunk strictly above / below the origin box.
     g_hi = clo[None, :, :] - ohi[:, None, :]
     g_lo = olo[:, None, :] - chi[None, :, :]
     # Axis reachable unless the chunk is strictly on one side and no
@@ -128,13 +152,26 @@ def tile_chunk_order(
         ((g_hi > 0.0) & (dhi[:, None, :] <= 0.0))
         | ((g_lo > 0.0) & (dlo[:, None, :] >= 0.0))
     )
-    reach = ax_ok.all(axis=2) & any_live  # [nt, nc]
+    reach_g = (ax_ok.all(axis=2) & any_live).reshape(ntiles, ng, nc)
     gap = jnp.maximum(jnp.maximum(g_hi, g_lo), 0.0)
-    tmin = jnp.sqrt(jnp.sum(gap * gap, axis=2))  # [nt, nc]
+    tmin_g = jnp.sqrt(jnp.sum(gap * gap, axis=2)).reshape(
+        ntiles, ng, nc
+    )
+
+    reach = reach_g.any(axis=1)  # [nt, nc]
+    tmin = jnp.min(jnp.where(reach_g, tmin_g, big), axis=1)
+    bits = jnp.left_shift(
+        jnp.ones((ng,), jnp.int32), jnp.arange(ng, dtype=jnp.int32)
+    )
+    gmask_c = jnp.sum(
+        jnp.where(reach_g, bits[None, :, None], 0), axis=1,
+        dtype=jnp.int32,
+    )  # [nt, nc]
 
     key = jnp.where(reach, tmin, big)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     tmins = jnp.take_along_axis(key, order, axis=1)
+    gmask = jnp.take_along_axis(gmask_c, order, axis=1)
     n_reach = reach.sum(axis=1, dtype=jnp.int32)[:, None]
 
     pad8 = (-ntiles) % 8
@@ -145,16 +182,20 @@ def tile_chunk_order(
         tmins = jnp.concatenate(
             [tmins, jnp.full((pad8, nc), big)], axis=0
         )
+        gmask = jnp.concatenate(
+            [gmask, jnp.zeros((pad8, nc), jnp.int32)], axis=0
+        )
         n_reach = jnp.concatenate(
             [n_reach, jnp.zeros((pad8, 1), jnp.int32)], axis=0
         )
-    return order, tmins, n_reach
+    return order, tmins, gmask, n_reach
 
 
 def _traverse_kernel(
     nr_ref,  # SMEM (8, 1) i32: n_reach rows for this 8-tile group
     ord_ref,  # SMEM (8, nc) i32: per-tile chunk order
     tmin_ref,  # SMEM (8, nc) f32: sorted chunk-distance lower bounds
+    gm_ref,  # SMEM (8, nc) i32: per-chunk lane-group reach bitmask
     rays_ref,  # VMEM (8, Rt) f32 [o | 1 | d | 0]
     live_ref,  # VMEM (1, Rt) f32
     ws_ref,  # ANY (8, T_pad·6) f32 — streamed transform chunks
@@ -271,7 +312,7 @@ def _traverse_kernel(
         bt_ref[0, sl] = jnp.where(better, c_min, bt)
         bi_ref[0, sl] = jnp.where(better, c_idx + j * tc, bi_ref[0, sl])
 
-    def compute_chunk(slot, j, reach):
+    def compute_chunk(slot, j, gm, reach):
         """Selection-only chunk body: K-packed contraction + accept,
         gated per ``lane_group``-wide column group.
 
@@ -283,6 +324,8 @@ def _traverse_kernel(
         ``reach`` bound makes skipping exact (a lane whose segment
         cannot enter the chunk's AABB below its best-t cannot improve
         there), so results are bit-identical to the ungated kernel.
+        r5 adds the host-side group-frustum bit (``gm`` bit g, see
+        `tile_chunk_order`) as a second conservative gate ANDed in.
         """
         ws_blk = ws_buf[slot]  # (8, 6·tc) f32
         w_k = (
@@ -302,7 +345,11 @@ def _traverse_kernel(
                 accept_cols(p, j, g * lg, lg)
 
             if lane_group:
-                pl.when(jnp.any(reach[g * lg : (g + 1) * lg]))(run_group)
+                gbit = jax.lax.shift_right_logical(gm, g) & 1
+                pl.when(
+                    (gbit > 0)
+                    & jnp.any(reach[g * lg : (g + 1) * lg])
+                )(run_group)
             else:
                 run_group()
 
@@ -310,11 +357,14 @@ def _traverse_kernel(
         p, n_stop = carry
         slot = jax.lax.rem(p, 2)
         j = ord_at(p)
+        gm = gm_ref[row, jnp.minimum(p, nc - 1)]
         ws_dma(slot, j).wait()
 
         reach = reach_lanes(j, bt_ref[0, :])
         do = jnp.any(reach)
-        jax.lax.cond(do, lambda: compute_chunk(slot, j, reach), lambda: None)
+        jax.lax.cond(
+            do, lambda: compute_chunk(slot, j, gm, reach), lambda: None
+        )
 
         # Early exit: tmin is sorted ascending, so once the NEXT
         # chunk's distance bound exceeds every live lane's best-t, no
@@ -407,8 +457,8 @@ def traverse_select(
     ntiles = Rp // ray_tile
     rays = _soa_rays(pos3, dir3, Rp)
 
-    order, tmins, n_reach = tile_chunk_order(
-        pos3, dir3, live_f, clo, chi, ray_tile
+    order, tmins, gmask, n_reach = tile_chunk_order(
+        pos3, dir3, live_f, clo, chi, ray_tile, lane_group
     )
 
     K = (48 if terms == 3 else 24) if exact else 8
@@ -421,6 +471,9 @@ def traverse_select(
         in_specs=[
             pl.BlockSpec(
                 (8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (8, nc), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (8, nc), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
@@ -453,7 +506,7 @@ def traverse_select(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(n_reach, order, tmins, rays, live_f, ws, clo, chi)
+    )(n_reach, order, tmins, gmask, rays, live_f, ws, clo, chi)
     return idx[0, :R]
 
 

@@ -169,6 +169,14 @@ class TraceConfig:
     #   kernel, and residual traffic drops to 3 arrays/segment.
     #   Fastest measured fwd+bwd (PERF.md r4); requires a Pallas-path
     #   intersector ("megakernel"/"traverse").
+    whole_segment: bool = False  # run each path segment as ONE Pallas
+    # kernel (ops/segment_fused.py): the v4 chunk loop + in-kernel
+    # sampling/masking/state-update epilogue for the megakernel
+    # intersector; selection walk + one fused gather-epilogue kernel
+    # for traverse. Bit-identical estimator (uniforms stay host-drawn,
+    # the epilogue consumes the kernel's own winner values) with a
+    # working fused BACKWARD kernel (the r5 answer to the reference's
+    # one-kernel-per-launch shape, CUTracer.cu:179-218).
     fused_epilogue: bool = False  # run each segment's post-intersector
     # work (masking + normal interp + all three samplers + state
     # update) as ONE Pallas kernel per direction instead of ~50 XLA
@@ -385,6 +393,61 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 shade = checkpoint_name(shade, "mcpt_seg")
             return idx, tbg, shade
 
+        def whole(pos3, dir3, tput, res, live, u1, u2, urr, flags):
+            """Whole-segment step (config.whole_segment): returns
+            (new_pos, new_dir, new_tput, new_result, still_bool)."""
+            from ..ops.segment_fused import (
+                whole_segment_megakernel,
+                whole_segment_rows,
+            )
+
+            r512 = -(-pos3.shape[1] // 512) * 512
+            rt = config.ray_tile or min(default_rt, r512)
+            ep = dict(
+                mode=config.mode, illum=config.illum,
+                eps_offset=config.eps_offset,
+                refract_kd=config.refract_kd,
+                phong_model=config.phong_model,
+                interpret=config.pallas_interpret,
+            )
+            if traverse:
+                lg = config.lane_group or (256 if rt > 512 else 0)
+                if lg >= rt:
+                    lg = 0
+                while lg and rt % lg:
+                    lg -= 128
+                from ..ops.traverse_pallas import traverse_select
+
+                idx = jax.lax.stop_gradient(
+                    traverse_select(
+                        jax.lax.stop_gradient(ws),
+                        jax.lax.stop_gradient(clo),
+                        jax.lax.stop_gradient(chi),
+                        jax.lax.stop_gradient(pos3),
+                        jax.lax.stop_gradient(dir3),
+                        jax.lax.stop_gradient(live),
+                        ray_tile=rt, t_chunk=sc,
+                        interpret=config.pallas_interpret,
+                        exact=exact, terms=terms, lane_group=lg,
+                    )
+                )
+                npos, ndir, ntput, nres, still = whole_segment_rows(
+                    rows, idx, pos3, dir3, tput, res, live,
+                    u1, u2, urr, flags,
+                    ray_tile=min(rt, 2048), **ep,
+                )
+            else:
+                _, npos, ndir, ntput, nres, still = (
+                    whole_segment_megakernel(
+                        ws, rows, pos3, dir3, tput, res, live,
+                        u1, u2, urr, flags, clo, chi,
+                        ray_tile=rt, t_chunk=sc,
+                        cull=config.chunk_cull,
+                        exact=exact, terms=terms, sub=sub, **ep,
+                    )
+                )
+            return npos, ndir, ntput, nres, still > 0.0
+
         def intersect_shade(pos3, dir3, live=None):
             idx, tbg, shade = intersect_raw(pos3, dir3, live)
             # NOTE on layouts (r4 measurement): per-ray scalars stay
@@ -424,6 +487,7 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             )
 
         intersect_shade.raw = intersect_raw
+        intersect_shade.whole = whole
         return intersect_shade
 
     if config.intersector == "brute":
@@ -526,6 +590,10 @@ def trace_radiance_soa(
             f"ray_sort supports wavefronts < 2^24 rays, got {R}; "
             "tile the frame with TraceConfig.ray_chunk"
         )
+    use_whole = config.whole_segment and config.intersector in (
+        "megakernel",
+        "traverse",
+    )
     use_fused = config.fused_epilogue and config.intersector in (
         "megakernel",
         "traverse",
@@ -581,6 +649,38 @@ def trace_radiance_soa(
         def draw(sid):
             u = stream_uniform(key, sid, (R,))
             return u[rid] if use_sort else u
+
+        if use_whole:
+            # Whole-segment kernel (ops/segment_fused.py): identical
+            # semantics and random streams, intersection + sampling +
+            # state update in ONE Pallas call (plus the selection walk
+            # for traverse), with a fused backward kernel.
+            u1 = draw(seg_idx * 4 + 0)
+            u2 = draw(seg_idx * 4 + 1)
+            if config.mode == "rr":
+                u_rr = draw(seg_idx * 4 + 3)
+                fg = jnp.float32(0.0)
+                do_rr = (
+                    (seg_idx >= config.rr_depth)
+                    & (seg_idx < 3 * config.rr_depth)
+                ).astype(jnp.float32)
+                hard_kill = (seg_idx >= 3 * config.rr_depth).astype(
+                    jnp.float32
+                )
+            else:
+                u_rr = jnp.zeros_like(u1)
+                fg = (seg_idx == config.max_depth).astype(jnp.float32)
+                do_rr = hard_kill = jnp.float32(0.0)
+            flags = jnp.stack(
+                [fg, jnp.float32(do_rr), jnp.float32(hard_kill)]
+            ).reshape(3, 1)
+            new_pos, new_dir, new_tput, result, still = (
+                intersect_shade.whole(
+                    pos, dir_, tput, result, active, u1, u2, u_rr,
+                    flags,
+                )
+            )
+            return (new_pos, new_dir, new_tput, result, still, rid), None
 
         if use_fused:
             # Fused segment epilogue (ops/segment_pallas.py): identical

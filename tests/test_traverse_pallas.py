@@ -81,7 +81,7 @@ def test_tile_chunk_order_is_conservative():
     R = 2 * rt
     pos3, dir3 = _random_rays(jax.random.key(9), R)
     live = jnp.ones((1, R), jnp.float32)
-    order, tmins, n_reach = tp.tile_chunk_order(
+    order, tmins, _, n_reach = tp.tile_chunk_order(
         pos3, dir3, live, clo, chi, rt
     )
     hit = intersect_brute(m, m_a, tv, pos3.T, dir3.T)
@@ -99,6 +99,41 @@ def test_tile_chunk_order_is_conservative():
             assert tmins[i, pos_of[c]] <= th + 1e-4, (
                 i, c, tmins[i, pos_of[c]], th,
             )
+
+
+def test_group_reach_mask_is_conservative():
+    """r5 per-group reach lists: every chunk that contains a lane's
+    true nearest hit must appear in the tile list with that lane's
+    GROUP bit set in gmask — otherwise the kernel's group gate could
+    skip a real hit."""
+    scene, _ = glossy.glossy_steps(width=64, height=48)
+    (m, m_a, tv), ws, rows, clo, chi = _packs(scene)
+    rt, lg = 512, 128
+    R = 2 * rt
+    pos3, dir3 = _random_rays(jax.random.key(11), R)
+    live = jnp.ones((1, R), jnp.float32)
+    order, tmins, gmask, n_reach = tp.tile_chunk_order(
+        pos3, dir3, live, clo, chi, rt, lane_group=lg
+    )
+    hit = intersect_brute(m, m_a, tv, pos3.T, dir3.T)
+    tri = np.asarray(hit.tri_id)
+    t = np.asarray(hit.t)
+    order, tmins, gmask, n_reach = map(
+        np.asarray, (order, tmins, gmask, n_reach)
+    )
+    for i in range(R // rt):
+        in_list = order[i, : n_reach[i, 0]]
+        pos_of = {int(c): p for p, c in enumerate(in_list)}
+        for lane in range(rt):
+            tid = tri[i * rt + lane]
+            if tid < 0:
+                continue
+            c = int(tid) // 128
+            g = lane // lg
+            assert c in pos_of, (i, c)
+            p = pos_of[c]
+            assert gmask[i, p] >> g & 1, (i, c, g)
+            assert tmins[i, p] <= t[i * rt + lane] + 1e-4
 
 
 def test_traverse_trace_matches_brute_trace():
