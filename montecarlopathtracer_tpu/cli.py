@@ -95,6 +95,15 @@ def build_parser() -> argparse.ArgumentParser:
         "walk faults the TPU runtime at render scale (PERF.md r4)",
     )
     p.add_argument(
+        "--whole-segment",
+        choices=["on", "off"],
+        default="on",
+        help="run each path segment as ONE Pallas kernel (intersect + "
+        "sample + state update, with a fused backward) on the "
+        "megakernel/traverse intersectors; 'off' = the split "
+        "kernel+XLA-epilogue path (bit-identical, for ablation)",
+    )
+    p.add_argument(
         "--chunk-cull",
         choices=["auto", "on", "off"],
         default="auto",
@@ -302,6 +311,7 @@ def main(argv=None) -> int:
         stream_chunk=args.stream_chunk,
         kernel_precision=args.kernel_precision,
         phong_model=args.phong_model,
+        whole_segment=args.whole_segment == "on",
     )
     settings = RenderSettings(
         width=args.width,

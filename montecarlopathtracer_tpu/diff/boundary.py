@@ -212,6 +212,181 @@ def boundary_grad_vertices(
     return out
 
 
+def shadow_boundary_grad_vertices(
+    scene: ScenePack,
+    camera: Camera,
+    edges: jnp.ndarray,  # i32[E, 2] vertex-index pairs (unique_edges)
+    image_grad: jnp.ndarray,  # f32[H, W, 3] = dLoss/dI
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    config: TraceConfig,
+    n_samples: int = 4096,
+    eps_ang: float = 1e-3,
+    accel=None,
+    vary_axes: Tuple[str, ...] = (),
+) -> jnp.ndarray:
+    """Per-vertex SECONDARY-edge (shadow) boundary gradient — the
+    one-bounce visibility term the primary estimator above cannot see
+    (r5; the framework north star past camera-silhouette gradients).
+
+    The one-bounce pixel integral is I_p = ∫ ρ(x, ω) L_in(x, ω) dω at
+    the primary hit x, with ρ = albedo·cosθ/π for the reference's
+    diffuse lobe (cosine importance sampling, CUTracer.cu:146-160).
+    L_in(x, ·) is discontinuous across the spherical image of every
+    silhouette edge of a blocker: when the blocker moves, the shadow
+    moves, and all of that gradient is a boundary term even though the
+    blocker may be entirely OUTSIDE the camera frustum. Edge-sampling
+    form (Li et al. 2018, restricted to the first bounce):
+
+        dI_p/dθ_k = Σ_edges ∫ ρ(x, ω_e) (L⁻ − L⁺)(x, ω_e)
+                         (v_k·n̂)(ω_e) |dω_e/dl| dl
+
+    with ω_e the direction from x to the edge point, n̂ the spherical
+    normal of the edge image (⊥ ω_e, ⊥ the edge tangent image), and,
+    for a unit world translation e_k of the edge, the spherical
+    velocity v_k·n̂ = n̂_k / dist.
+
+    Monte Carlo over (receiver pixel, edge point): sample a uniform
+    screen position (→ primary hit via the configured intersector), an
+    edge point ∝ world length, probe L∓ by tracing the FULL remaining
+    path from x along normalize(ω ∓ eps_ang·n̂) (depth reduced by the
+    one camera bounce), and weight by the loss's image gradient at the
+    containing pixel. Non-silhouette and unoccluded samples
+    self-cancel (both probes see the same radiance) exactly as in the
+    primary estimator. Receivers that are emitters / specular /
+    transmissive get zero weight (their boundary terms ride specular
+    paths — out of scope, documented).
+
+    Sample contributions scatter into the two edge-endpoint vertices
+    with barycentric weights, so `shadow_boundary_grad_translation` is
+    the row sum (linearity in the velocity field)."""
+    import dataclasses
+
+    from ..render.integrator import _make_intersect_shade, _interp_normal
+
+    E = edges.shape[0]
+    V = scene.vertices.shape[0]
+    n = n_samples
+    v = scene.vertices.T  # [3, V]
+    p0 = v[:, edges[:, 0]]  # [3, E]
+    p1 = v[:, edges[:, 1]]
+    elen = jnp.sqrt(jnp.sum((p1 - p0) ** 2, axis=0))
+    total_len = jnp.sum(elen)
+    cdf = jnp.cumsum(elen) / jnp.maximum(total_len, 1e-20)
+
+    # Receiver: one primary hit per sample at a uniform screen point.
+    ux = stream_uniform(key, 31, (n,))
+    uy = stream_uniform(key, 32, (n,))
+    xs = ux * width
+    ys = uy * height
+    zeros = jnp.zeros((n,))
+    cpos, cdir = camera.generate_rays_soa(xs, ys, zeros, zeros, width, height)
+    intersect_shade = _make_intersect_shade(scene, config, accel)
+    s = intersect_shade(cpos, cdir)
+    hit = ~s["miss"]
+    is_emit = (s["ka"] > 0.0).any(axis=0)
+    receiver = hit & ~is_emit & ~(s["tr"] > 0.0) & ~(s["ns"] > 1.0)
+    x = s["point"]  # [3, n]
+    normal = _interp_normal(s["n0"], s["n1"], s["n2"], s["beta"], s["gamma"])
+    flip = jnp.sum(cdir * normal, axis=0) > 0.0  # two-sided diffuse
+    n_eff = jnp.where(flip[None, :], -normal, normal)
+    albedo = s["kd"]  # [3, n]
+
+    # Edge point ∝ world length.
+    u_pick = stream_uniform(key, 33, (n,))
+    u_along = stream_uniform(key, 34, (n,))
+    eidx = jnp.clip(
+        jnp.searchsorted(cdf, u_pick).astype(jnp.int32), 0, E - 1
+    )
+    q0 = p0[:, eidx]
+    q1 = p1[:, eidx]
+    pe = q0 + (q1 - q0) * u_along[None, :]
+    dvec = pe - x
+    dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+    safe_d = jnp.maximum(dist, 1e-9)
+    omega = dvec / safe_d[None, :]
+    lvec = q1 - q0
+    lhat = lvec / jnp.maximum(
+        jnp.sqrt(jnp.sum(lvec * lvec, axis=0)), 1e-12
+    )[None, :]
+    # Spherical tangent of the edge image (per arc length) and its
+    # in-sphere normal.
+    tang = lhat - omega * jnp.sum(omega * lhat, axis=0)[None, :]
+    tlen = jnp.sqrt(jnp.sum(tang * tang, axis=0))
+    m = tlen / safe_d  # |dω/dl|
+    nhat = jnp.stack(
+        [
+            omega[1] * tang[2] - omega[2] * tang[1],
+            omega[2] * tang[0] - omega[0] * tang[2],
+            omega[0] * tang[1] - omega[1] * tang[0],
+        ]
+    ) / jnp.maximum(tlen, 1e-12)[None, :]
+
+    cosw = jnp.sum(omega * n_eff, axis=0)
+    front = cosw > 0.0
+    rho = albedo * (cosw / jnp.pi)[None, :]  # [3, n]
+
+    # Probe the two sides of the edge image with the full remaining
+    # path (the camera bounce used one scatter).
+    cfg2 = dataclasses.replace(
+        config, max_depth=max(config.max_depth - 1, 1)
+    )
+    d_plus = omega + eps_ang * nhat
+    d_plus = d_plus / jnp.sqrt(jnp.sum(d_plus * d_plus, axis=0))[None, :]
+    d_minus = omega - eps_ang * nhat
+    d_minus = d_minus / jnp.sqrt(jnp.sum(d_minus * d_minus, axis=0))[None, :]
+    posP = jnp.concatenate(
+        [x + d_plus * config.eps_offset, x + d_minus * config.eps_offset],
+        axis=1,
+    )
+    dirP = jnp.concatenate([d_plus, d_minus], axis=1)
+    rad = trace_radiance_soa(
+        scene, posP, dirP, jax.random.fold_in(key, 35), cfg2, accel,
+        vary_axes,
+    )
+    delta_l = rad[:, n:] - rad[:, :n]  # L⁻ − L⁺
+
+    px = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, width - 1)
+    py = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, height - 1)
+    wpix = image_grad[py, px, :].T  # [3, n]
+    scal = jnp.sum(wpix * rho * delta_l, axis=0)  # [n]
+    valid = receiver & front & (dist > 1e-6) & (tlen > 1e-9)
+    scal = jnp.where(valid, scal, 0.0)
+
+    # v_k·n̂ = n̂_k / dist; one factor of the sampling measure each for
+    # the screen (W·H / n uniform pixels-area) and the edge length.
+    norm_f = total_len * (width * height) / n
+    contrib = (
+        scal * m / safe_d * norm_f
+    )[:, None] * nhat.T  # [n, 3]
+
+    i0 = edges[eidx, 0]
+    i1 = edges[eidx, 1]
+    out = jnp.zeros((V, 3), jnp.float32)
+    out = out.at[i0].add(contrib * (1.0 - u_along)[:, None])
+    out = out.at[i1].add(contrib * u_along[:, None])
+    return out
+
+
+def shadow_boundary_grad_translation(
+    scene, camera, edges, image_grad, key, *,
+    width, height, config, n_samples: int = 4096,
+    eps_ang: float = 1e-3, accel=None, vary_axes=(),
+) -> jnp.ndarray:
+    """dLoss/dθ (f32[3]) of the one-bounce shadow boundary term for a
+    rigid translation of the edge mesh (row sum of
+    :func:`shadow_boundary_grad_vertices`)."""
+    gv = shadow_boundary_grad_vertices(
+        scene, camera, edges, image_grad, key,
+        width=width, height=height, config=config,
+        n_samples=n_samples, eps_ang=eps_ang, accel=accel,
+        vary_axes=vary_axes,
+    )
+    return jnp.sum(gv, axis=0)
+
+
 def make_translation_problem(
     scene: ScenePack,
     camera: Camera,

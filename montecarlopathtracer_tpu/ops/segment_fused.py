@@ -393,22 +393,23 @@ def _mega_segment_kernel(
         clo_ref = chi_ref = None
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
+    live = live_ref[0, :] > 0.0
+    any_live = jnp.any(live)
 
-    @pl.when(ci == 0)
+    @pl.when((ci == 0) & any_live)
     def _():
         _v4_init_tile(
             rays_ref, rk_ref, bt_ref, bi_ref, bb_ref, bg_ref, brow_ref,
             exact=exact, terms=terms,
         )
 
-    live = live_ref[0, :] > 0.0
     if cull:
         reach = _slab_reach(
             rays_ref[:], clo_ref, chi_ref, ci, bt_ref[0, :], live
         )
-        run = jnp.any(reach)
+        run = jnp.any(reach) & any_live
     else:
-        run = jnp.any(live)
+        run = any_live
 
     @pl.when(run)
     def _():
@@ -418,7 +419,20 @@ def _mega_segment_kernel(
             sub=sub,
         )
 
-    @pl.when(ci == nc - 1)
+    @pl.when((ci == nc - 1) & ~any_live)
+    def _():
+        # All-dead tile (RR tails; sorted wavefronts compact the dead
+        # to the end): the segment is an identity — passthrough the
+        # state without touching the (uninitialized) winner scratch or
+        # running the epilogue's sampler math.
+        idx_ref[0, :] = jnp.full(idx_ref.shape[1:], -1, jnp.int32)
+        npos_ref[:] = rays_ref[0:3, :]
+        ndir_ref[:] = rays_ref[4:7, :]
+        ntput_ref[:] = tput_ref[:]
+        nres_ref[:] = res_ref[:]
+        still_ref[0, :] = jnp.zeros(still_ref.shape[1:], jnp.float32)
+
+    @pl.when((ci == nc - 1) & any_live)
     def _():
         bt = bt_ref[0, :]
         hit = bt < _BIG

@@ -169,7 +169,7 @@ class TraceConfig:
     #   kernel, and residual traffic drops to 3 arrays/segment.
     #   Fastest measured fwd+bwd (PERF.md r4); requires a Pallas-path
     #   intersector ("megakernel"/"traverse").
-    whole_segment: bool = False  # run each path segment as ONE Pallas
+    whole_segment: bool = True  # run each path segment as ONE Pallas
     # kernel (ops/segment_fused.py): the v4 chunk loop + in-kernel
     # sampling/masking/state-update epilogue for the megakernel
     # intersector; selection walk + one fused gather-epilogue kernel
@@ -402,7 +402,13 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             )
 
             r512 = -(-pos3.shape[1] // 512) * 512
-            rt = config.ray_tile or min(default_rt, r512)
+            # Whole-segment megakernel default tile: 4096 — the
+            # in-kernel epilogue is rank-1 rows, whose per-op vector
+            # length is the tile; at 2048 it is instruction-bound
+            # (measured 5.90 vs 8.24 Msamples/s at 4096; 8192 loses
+            # the chunk-loop tuning, 16384 OOMs VMEM).
+            wdefault = default_rt if traverse else 4096
+            rt = config.ray_tile or min(wdefault, r512)
             ep = dict(
                 mode=config.mode, illum=config.illum,
                 eps_offset=config.eps_offset,
@@ -431,10 +437,13 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                         exact=exact, terms=terms, lane_group=lg,
                     )
                 )
+                # The fused epilogue kernel's tile is independent of
+                # the walk tile; rank-1 rows want long vectors (see
+                # wdefault note above).
                 npos, ndir, ntput, nres, still = whole_segment_rows(
                     rows, idx, pos3, dir3, tput, res, live,
                     u1, u2, urr, flags,
-                    ray_tile=min(rt, 2048), **ep,
+                    ray_tile=8192, **ep,
                 )
             else:
                 _, npos, ndir, ntput, nres, still = (
@@ -590,9 +599,14 @@ def trace_radiance_soa(
             f"ray_sort supports wavefronts < 2^24 rays, got {R}; "
             "tile the frame with TraceConfig.ray_chunk"
         )
-    use_whole = config.whole_segment and config.intersector in (
-        "megakernel",
-        "traverse",
+    # The "outputs" remat policy names the SPLIT path's kernel outputs
+    # (idx/tbg/shade) — meaningless for the one-kernel segment, whose
+    # custom_vjp stores its own (smaller) residuals; keep such configs
+    # on the split path.
+    use_whole = (
+        config.whole_segment
+        and config.intersector in ("megakernel", "traverse")
+        and config.remat_segments != "outputs"
     )
     use_fused = config.fused_epilogue and config.intersector in (
         "megakernel",

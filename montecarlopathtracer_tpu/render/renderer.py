@@ -185,7 +185,14 @@ class Renderer:
             k = jax.random.fold_in(base_key, self.pass_idx)
             t0 = time.perf_counter()
             self.film = self._step(self.scene, self.camera, self.film, k, self.accel)
-            self.film.color.block_until_ready()
+            if self.log.enabled:
+                # Fence only when the per-pass timing is consumed: an
+                # unconditional block_until_ready here cost one tunnel
+                # round trip (~30 ms) PER PASS on the remote TPU —
+                # ~15% of a headline 4-spp pass — and the loop needs no
+                # sync (each step consumes the previous film on
+                # device; callers fence via their own film fetch).
+                self.film.color.block_until_ready()
             dt = time.perf_counter() - t0
             self.pass_idx += 1
             if self.log.enabled:

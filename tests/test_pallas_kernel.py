@@ -617,3 +617,25 @@ def test_scatter_rows_matches_xla_scatter_add():
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
     # miss lanes (-1) contribute nothing
     assert got[~np.isin(np.arange(T_pad), idx[hit])].sum() == 0.0
+
+
+def test_scatter_rows_mid_size_T_sub_chunked():
+    """T_pad in the multi-thousand range (the regime where the r4
+    whole-T one-hot would have blown VMEM — ADVICE r4 #2): the r5
+    T-sub-chunked kernel must still match the XLA scatter-add, with a
+    non-divisor-of-512 T_pad exercising the sub-chunk fallback."""
+    from montecarlopathtracer_tpu.ops.intersect_pallas import scatter_rows
+
+    rng = np.random.default_rng(4)
+    for T_pad in (4096, 1920):  # 1920 % 512 != 0 → t_sub drops to 128
+        R = 2048
+        idx = rng.integers(-1, T_pad, size=R).astype(np.int32)
+        dvals = rng.standard_normal((48, R)).astype(np.float32)
+        got = np.asarray(
+            scatter_rows(jnp.asarray(idx), jnp.asarray(dvals), T_pad,
+                         ray_tile=1024, interpret=True)
+        )
+        want = np.zeros((T_pad, 48), np.float32)
+        hit = idx >= 0
+        np.add.at(want, idx[hit], dvals.T[hit])
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)

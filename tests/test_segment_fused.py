@@ -71,6 +71,7 @@ def _render_pair(config_kw, base_kw=None, width=48, height=36, depth=3):
     )
     base = TraceConfig(
         max_depth=depth, ray_chunk=0, pallas_interpret=True,
+        whole_segment=False,
         **(base_kw or {}), **{
             k: v for k, v in config_kw.items() if k != "whole_segment"
         },

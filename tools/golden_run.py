@@ -143,6 +143,10 @@ def main() -> int:
         print(f"scene{n}: {json.dumps(report[f'scene{n}'], indent=1)}",
               file=sys.stderr)
 
+    # ---- progressive step sequences vs result1step/result2step -------------
+    if want("steps"):
+        _run_steps(report, spp_scale, intersector)
+
     # ---- MCRT variant vs MCRT result.png ------------------------------------
     if want("mcrt"):
         _run_mcrt(report, spp_scale, intersector)
@@ -161,6 +165,94 @@ def main() -> int:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
     return 0
+
+
+def _run_steps(report, spp_scale, intersector):
+    """Progressive-sequence parity (VERDICT r4 missing #3): the
+    reference commits result1step/ and result2step/ — 10 frames of the
+    progressive running mean, one per 100-spp kernel launch
+    (CUTracer.cu:378-397: step k = mean after (k+1)·100 spp; step 9 ==
+    result{1,2}.png). Re-render with the same pass semantics
+    (spp_per_pass=100, linear running mean — `film_update` implements
+    the exact CUTracer.cu:214-217 recurrence) and compare frame by
+    frame: per-step 8×-downsampled MAE + PSNR at the final-step fitted
+    illum scale. Parity = a monotone-converging curve (both sequences
+    estimate the same limit image; MC noise shrinks with spp on both
+    sides, ours with different RNG)."""
+    from montecarlopathtracer_tpu.models import cornell
+    from montecarlopathtracer_tpu.render.integrator import TraceConfig
+    from montecarlopathtracer_tpu.render.renderer import (
+        Renderer,
+        RenderSettings,
+    )
+    from montecarlopathtracer_tpu.render.film import tonemap_linear
+    from montecarlopathtracer_tpu.utils.golden import compare_images
+    from montecarlopathtracer_tpu.utils.image import load_png, save_png
+
+    for n in (1, 2):
+        step_dir = f"{REF}/CVMCTracer/CVMCTracer/result{n}step"
+        goldens = [
+            load_png(os.path.join(step_dir, f"step{k:06d}.png"))
+            for k in range(10)
+        ]
+        scene, cam = cornell.load_reference_scene(n, width=800, height=600)
+        config = TraceConfig(
+            mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,
+            intersector=intersector,
+        )
+        spp_pass = max(100 // spp_scale, 1)
+        settings = RenderSettings(
+            width=800, height=600, spp_per_pass=spp_pass, passes=10,
+            seed=0,
+        )
+        print(f"steps{n}: 10×{spp_pass} spp vs {step_dir}", file=sys.stderr)
+        r = Renderer(scene, cam, config, settings)
+        films = []
+        for k in range(10):
+            r.render(1)
+            films.append(np.asarray(r.film.color))
+        # One global illum scale, fitted on the CONVERGED final step
+        # and applied to every step (the per-step estimator is unbiased,
+        # so earlier steps share the same scale).
+        s = _fit_scale(films[-1], goldens[-1])
+        curve = []
+        for k, (film, golden) in enumerate(zip(films, goldens)):
+            fitted_u8 = np.clip(film * s * 255.0, 0, 255).astype(np.uint8)
+            m = compare_images(fitted_u8, golden)
+            curve.append(m)
+            if k in (0, 9):
+                save_png(
+                    os.path.join(OUT, f"scene0{n}_step{k}_ours.png"),
+                    fitted_u8,
+                )
+        maes = [c["mae_down8"] for c in curve]
+        psnrs = [c["psnr_db"] for c in curve]
+        # The reference's own cross-run floor: result{n}.png vs the
+        # sequence's final step. result1step/step9 is BIT-IDENTICAL to
+        # result1.png (same run), but result2step is a DIFFERENT run
+        # than result2.png (CVMCTracer seeds from std::random_device,
+        # CUTracer.cu:375) and sits 0.049 down8-MAE away from it —
+        # that scene's fireflies (4 sphere emitters) survive 8×
+        # downsampling. A sequence "matches" when it converges to this
+        # floor, not to zero.
+        final = load_png(
+            f"{REF}/CVMCTracer/CVMCTracer/result{n}.png"
+        )
+        floor = compare_images(final, goldens[-1])["mae_down8"]
+        report[f"steps{n}"] = {
+            "golden_dir": step_dir,
+            "spp_per_step": spp_pass,
+            "fitted_scale": round(s, 4),
+            "down8_mae_per_step": [round(m, 4) for m in maes],
+            "psnr_per_step": [round(p, 2) for p in psnrs],
+            "inter_golden_floor_mae_down8": round(floor, 4),
+            "converging": bool(
+                psnrs[-1] >= psnrs[0]
+                and maes[-1] <= max(maes[0], floor * 1.05)
+            ),
+        }
+        print(f"steps{n}: {json.dumps(report[f'steps{n}'], indent=1)}",
+              file=sys.stderr)
 
 
 def _run_mcrt(report, spp_scale, intersector):
