@@ -177,11 +177,6 @@ class TraceConfig:
     # the epilogue consumes the kernel's own winner values) with a
     # working fused BACKWARD kernel (the r5 answer to the reference's
     # one-kernel-per-launch shape, CUTracer.cu:179-218).
-    fused_epilogue: bool = False  # run each segment's post-intersector
-    # work (masking + normal interp + all three samplers + state
-    # update) as ONE Pallas kernel per direction instead of ~50 XLA
-    # fusions (ops/segment_pallas.py). Random streams are unchanged
-    # (uniforms stay host-drawn inputs). Pallas-intersector paths only.
     unroll_segments: bool = False  # unroll the segment scan (8-16
     # bodies inline). For GRADIENT renders with remat_segments=False
     # this removes the per-step residual-stacking writes — the scan
@@ -608,12 +603,6 @@ def trace_radiance_soa(
         and config.intersector in ("megakernel", "traverse")
         and config.remat_segments != "outputs"
     )
-    use_fused = config.fused_epilogue and config.intersector in (
-        "megakernel",
-        "traverse",
-    )
-    if use_fused:
-        from ..ops.segment_pallas import segment_epilogue
     if use_sort:
         from ..ops.intersect_pallas import ray_sort_keys
 
@@ -693,41 +682,6 @@ def trace_radiance_soa(
                     pos, dir_, tput, result, active, u1, u2, u_rr,
                     flags,
                 )
-            )
-            return (new_pos, new_dir, new_tput, result, still, rid), None
-
-        if use_fused:
-            # Fused segment epilogue (ops/segment_pallas.py): identical
-            # semantics and random streams, one Pallas call per
-            # direction instead of ~50 XLA fusions + their relayouts.
-            idx, tbg, shade = intersect_shade.raw(pos, dir_, active)
-            u1 = draw(seg_idx * 4 + 0)
-            u2 = draw(seg_idx * 4 + 1)
-            if config.mode == "rr":
-                u_rr = draw(seg_idx * 4 + 3)
-                fg = jnp.float32(0.0)
-                do_rr = (
-                    (seg_idx >= config.rr_depth)
-                    & (seg_idx < 3 * config.rr_depth)
-                ).astype(jnp.float32)
-                hard_kill = (seg_idx >= 3 * config.rr_depth).astype(
-                    jnp.float32
-                )
-            else:
-                u_rr = jnp.zeros_like(u1)
-                fg = (seg_idx == config.max_depth).astype(jnp.float32)
-                do_rr = hard_kill = jnp.float32(0.0)
-            flags = jnp.stack(
-                [fg, jnp.float32(do_rr), jnp.float32(hard_kill)]
-            ).reshape(3, 1)
-            new_pos, new_dir, new_tput, result, still = segment_epilogue(
-                pos, dir_, tput, result, active, tbg, shade,
-                u1, u2, u_rr, flags,
-                mode=config.mode, illum=config.illum,
-                eps_offset=config.eps_offset,
-                refract_kd=config.refract_kd,
-                phong_model=config.phong_model,
-                interpret=config.pallas_interpret,
             )
             return (new_pos, new_dir, new_tput, result, still, rid), None
 

@@ -93,61 +93,3 @@ def test_vertex_grads_finite_through_megakernel_fresnel():
     gv = np.asarray(g["vertices"])
     assert np.isfinite(gv).all()
     assert np.abs(gv).max() == 0.0  # interior vertex gradient is zero
-
-
-def test_fused_epilogue_is_bit_identical():
-    """The fused segment-epilogue kernels must reproduce the unfused
-    integrator bit-for-bit (same uniforms, same math) in both
-    termination modes, and produce identical gradients."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from montecarlopathtracer_tpu.models import cornell
-    from montecarlopathtracer_tpu.render.integrator import (
-        TraceConfig,
-        trace_radiance_jit,
-    )
-
-    scene, cam = cornell.cornell_box(
-        with_mirror_sphere=True, with_glass_sphere=True, width=16, height=16
-    )
-    R = 256
-    pix = jnp.arange(R)
-    o, d = cam.generate_rays(
-        pix % 16, pix // 16, jnp.full((R,), 0.3), jnp.full((R,), 0.7), 16, 16
-    )
-    k = jax.random.key(5)
-    for mode, extra in (
-        ("fixed", {}),
-        ("rr", dict(rr_depth=3, illum=1.0, refract_kd=False)),
-    ):
-        com = dict(mode=mode, max_depth=3, ray_chunk=0,
-                   intersector="megakernel", pallas_interpret=True, **extra)
-        rb = np.asarray(trace_radiance_jit(scene, o, d, k,
-                                           config=TraceConfig(**com)))
-        rf = np.asarray(trace_radiance_jit(
-            scene, o, d, k, config=TraceConfig(fused_epilogue=True, **com)
-        ))
-        assert (rb == rf).all(), mode
-
-    from montecarlopathtracer_tpu.diff.grad import make_loss_fn, split_params
-
-    params = split_params(scene, ("mat_kd", "mat_ka"))
-    gs = []
-    for kw in ({}, dict(fused_epilogue=True)):
-        cfg = TraceConfig(
-            mode="fixed", max_depth=3, ray_chunk=0,
-            intersector="megakernel", pallas_interpret=True,
-            remat_segments=False, **kw,
-        )
-        loss_fn = make_loss_fn(
-            scene, cam, jnp.zeros((16, 16, 3)), width=16, height=16,
-            spp=1, config=cfg,
-        )
-        _, g = jax.value_and_grad(loss_fn)(params, jax.random.key(3))
-        gs.append(g)
-    for f in ("mat_kd", "mat_ka"):
-        np.testing.assert_allclose(
-            np.asarray(gs[0][f]), np.asarray(gs[1][f]), rtol=1e-6, atol=1e-8
-        )
