@@ -52,6 +52,13 @@ Intersector backends (``config.intersector``):
 - ``"brute"`` — pure lax oracle (CPU-friendly, differentiable).
 - ``"kdtree"`` — stackless KD traversal (needs ``accel=KDArrays``).
 
+With ``whole_segment`` (the default for the Pallas intersectors) each
+scan step is ONE kernel — intersection + sampling + state update
+(`ops.segment_fused`, the reference's one-kernel-per-launch shape,
+CUTracer.cu:179-218) — with a fused backward kernel; the split
+kernel+XLA-epilogue path below remains as the bit-identical ablation
+and the "outputs"-remat fallback.
+
 The scan body is wrapped in `jax.checkpoint`: reverse-mode AD replays
 each segment instead of storing the per-segment intersection
 intermediates — the path-replay gradient strategy, exact because all
@@ -228,6 +235,19 @@ def _shading_normal(scene: ScenePack, tri_id, beta, gamma):
     return _interp_normal(n0, n1, n2, beta, gamma).T
 
 
+def _auto_lane_group(config: "TraceConfig", rt: int) -> int:
+    """Lane-group width for the traversal kernel: config override or
+    the measured r4 default (256 for tiles > 512), clamped to the
+    largest 128-aligned divisor of the tile — a non-divisor would
+    leave tail lanes untested against any chunk (ADVICE r4)."""
+    lg = config.lane_group or (256 if rt > 512 else 0)
+    if lg >= rt:
+        return 0
+    while lg and rt % lg:
+        lg -= 128
+    return lg
+
+
 def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
     """Build ``intersect_shade(pos3, dir3)`` for the configured backend.
 
@@ -345,17 +365,7 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 # are the sweet spot (0.625 vs 0.519 Msamples/s
                 # ungated; 512 → 0.572, 128 → 0.549 — branch overhead).
                 rt = kw["ray_tile"]
-                lg = config.lane_group or (256 if rt > 512 else 0)
-                if lg >= rt:
-                    lg = 0
-                # The kernel iterates Rt // lane_group column groups; a
-                # non-divisor would silently leave the tail lanes
-                # untested (ADVICE r4). Clamp to the largest 128-aligned
-                # divisor of the tile.
-                while lg and rt % lg:
-                    lg -= 128
-                if lg and rt % lg:
-                    lg = 0
+                lg = _auto_lane_group(config, rt)
                 idx, tbg, shade = nearest_shade_traverse_diff(
                     ws, rows, clo, chi, pos3, dir3, live,
                     t_chunk=sc,
@@ -412,11 +422,7 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 interpret=config.pallas_interpret,
             )
             if traverse:
-                lg = config.lane_group or (256 if rt > 512 else 0)
-                if lg >= rt:
-                    lg = 0
-                while lg and rt % lg:
-                    lg -= 128
+                lg = _auto_lane_group(config, rt)
                 from ..ops.traverse_pallas import traverse_select
 
                 idx = jax.lax.stop_gradient(

@@ -152,8 +152,8 @@ def main() -> int:
         _run_mcrt(report, spp_scale, intersector)
 
     # ---- scene3 vs result3/result4 (Blinn-Phong vs Phong figures) ----------
-    if want("scene3"):
-        _run_scene3(report, spp_scale, intersector)
+    if want("scene3") or want("scene3_blinn") or want("scene3_phong"):
+        _run_scene3(report, spp_scale, intersector, args.only)
 
     out_path = os.path.join(OUT, "GOLDEN.json")
     if args.only and os.path.exists(out_path):
@@ -297,7 +297,7 @@ def _run_mcrt(report, spp_scale, intersector):
     print(f"mcrt: {json.dumps(report['mcrt'], indent=1)}", file=sys.stderr)
 
 
-def _run_scene3(report, spp_scale, intersector):
+def _run_scene3(report, spp_scale, intersector, only=""):
     from montecarlopathtracer_tpu.models import cornell
     from montecarlopathtracer_tpu.render.integrator import TraceConfig
     from montecarlopathtracer_tpu.render.renderer import RenderSettings
@@ -313,6 +313,10 @@ def _run_scene3(report, spp_scale, intersector):
     # the scene-1 style eye=(0, 5, ~4.8), −z, 60° FOV our
     # `camera_for_scene(3)` uses. Mirror-heavy transport: needs high spp.
     for variant, phong_model in (("blinn", "blinn"), ("phong", "phong")):
+        # A full-spp variant takes ~6 min on chip; let the driver time-
+        # slice them (--only scene3_blinn / scene3_phong).
+        if only and only.startswith("scene3_") and only != f"scene3_{variant}":
+            continue
         scene, cam = cornell.load_reference_scene(3, width=800, height=600)
         config = TraceConfig(
             mode="fixed", max_depth=7, illum=10.0, ray_chunk=0,

