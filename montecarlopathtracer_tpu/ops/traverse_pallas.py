@@ -216,6 +216,7 @@ def _traverse_kernel(
     tc = t_chunk
     nc = ord_ref.shape[1]
     Rt = rays_ref.shape[1]
+    D = ws_buf.shape[0]  # DMA pipeline depth (outstanding copies)
     row = jax.lax.rem(pl.program_id(0), 8)
     n0 = nr_ref[row, 0]
 
@@ -240,16 +241,16 @@ def _traverse_kernel(
         # Clamped traversal-list read: positions past the list's end
         # re-fetch the last chunk. This makes EVERY DMA unconditional —
         # each loop iteration waits one slot and prefetches one slot,
-        # so exactly two copies are outstanding at every loop boundary
-        # on every control path (drained by the two waits at the end).
-        # A clamped prefetch is a harmless ~50 KB over-read per tile;
+        # so exactly D copies are outstanding at every loop boundary
+        # on every control path (drained by the D waits at the end).
+        # A clamped prefetch is a harmless over-read per tile;
         # conditional starts, by contrast, are both a deadlock risk
         # (semaphore imbalance leaks into later grid steps) and
         # unsupported by the interpreter's DMA emulation.
         return ord_ref[row, jnp.minimum(p, nc - 1)]
 
-    ws_dma(0, ord_at(0)).start()
-    ws_dma(1, ord_at(1)).start()
+    for i in range(D):
+        ws_dma(i, ord_at(i)).start()
 
     def reach_lanes(j, tmax):
         """Per-lane segment-vs-AABB slab test for chunk j (f32 VPU)."""
@@ -355,7 +356,7 @@ def _traverse_kernel(
 
     def body(carry):
         p, n_stop = carry
-        slot = jax.lax.rem(p, 2)
+        slot = jax.lax.rem(p, D)
         j = ord_at(p)
         gm = gm_ref[row, jnp.minimum(p, nc - 1)]
         ws_dma(slot, j).wait()
@@ -383,17 +384,17 @@ def _traverse_kernel(
             n_stop,
         )
 
-        ws_dma(slot, ord_at(p + 2)).start()  # unconditional prefetch
+        ws_dma(slot, ord_at(p + D)).start()  # unconditional prefetch
         return (p + 1, n_stop)
 
     p_end, _ = jax.lax.while_loop(
         lambda c: c[0] < c[1], body, (jnp.int32(0), n0)
     )
 
-    # Drain the two outstanding prefetches (positions p_end, p_end+1 —
+    # Drain the D outstanding prefetches (positions p_end..p_end+D-1 —
     # possibly clamped duplicates; the waits match by copy size).
-    ws_dma(jax.lax.rem(p_end, 2), ord_at(p_end)).wait()
-    ws_dma(jax.lax.rem(p_end + 1, 2), ord_at(p_end + 1)).wait()
+    for i in range(D):
+        ws_dma(jax.lax.rem(p_end + i, D), ord_at(p_end + i)).wait()
 
     idx_ref[0, :] = jnp.where(
         bt_ref[0, :] < _BIG, bi_ref[0, :], jnp.int32(-1)
@@ -403,7 +404,8 @@ def _traverse_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ray_tile", "t_chunk", "interpret", "exact", "terms", "lane_group"
+        "ray_tile", "t_chunk", "interpret", "exact", "terms",
+        "lane_group", "dma_depth",
     ),
 )
 def traverse_select(
@@ -420,6 +422,7 @@ def traverse_select(
     exact: bool = True,
     terms: int = 3,
     lane_group: int = 0,
+    dma_depth: int = 4,
 ) -> jnp.ndarray:
     """Selection-only traversal walk: winner index i32[R] (−1 = miss),
     in the caller's (Morton-permuted) triangle order.
@@ -497,10 +500,14 @@ def traverse_select(
         out_shape=_sds((1, Rp), jnp.int32, rays),
         scratch_shapes=[
             pltpu.VMEM((K, ray_tile), jnp.bfloat16),  # packed rays
-            pltpu.VMEM((2, 8, 6 * t_chunk), jnp.float32),  # ws double buf
+            # ws prefetch ring: dma_depth outstanding copies — with
+            # only 2, each ~100 KB chunk copy's issue-to-complete
+            # latency stalls the walk when per-chunk compute is short
+            # (gated bounce visits), making the loop latency-bound.
+            pltpu.VMEM((dma_depth, 8, 6 * t_chunk), jnp.float32),
             pltpu.VMEM((1, ray_tile), jnp.float32),  # best t
             pltpu.VMEM((1, ray_tile), jnp.int32),  # best index
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((dma_depth,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -146,6 +146,12 @@ class TraceConfig:
     # entirely (sorted wavefronts cluster reaching lanes, so whole
     # groups skip on incoherent bounce segments). 0 = auto
     # (off for ray_tile ≤ 512, 512 above); bit-identical results.
+    sort_every: int = 1  # with ray_sort: re-sort every k-th segment
+    # instead of every segment. The (key, iota) sort + 14-row gather
+    # costs ~50 ms per 1M-ray segment — comparable to a bunny-scale
+    # traversal segment — while a one-bounce-stale order keeps most of
+    # its coherence value and ALL of its dead-prefix compaction (dead
+    # lanes stay dead). Estimator-neutral for any k.
     sort_dir_bits: int = 3  # direction resolution of the wavefront
     # sort key (ray_sort_keys): 3 = octant (the r3 layout), 6 = one
     # extra Morton level per axis — tighter per-tile direction cones
@@ -625,35 +631,54 @@ def trace_radiance_soa(
             # Terminated rays sort to the END: they compact into
             # all-dead kernel tiles, which the traversal kernel skips
             # at n_reach=0 cost — free wavefront compaction.
-            skeys = ray_sort_keys(
-                pos, dir_, aabb_lo, aabb_hi, config.sort_dir_bits
-            )
-            skeys = jnp.where(active, skeys, jnp.uint32(0xFFFFFFFF))
-            # Two-operand (key, iota) sort + ONE 14-row gather. r3
-            # shipped a single 15-payload lax.sort instead; r4
-            # measured that the variadic wide sort is the reason every
-            # ray-sorted config compiled in 160-180 s (everything else
-            # in those programs compiles in seconds) AND is far slower
-            # at runtime than its narrow form (isolated: 15 s vs 20 ms
-            # per 480k-ray call). rid rides the gather as f32 (exact
-            # below 2^24 rays).
-            perm = jax.lax.sort(
-                (skeys, jnp.arange(R, dtype=jnp.int32)),
-                dimension=0,
-                num_keys=1,
-            )[1]
-            state = jnp.concatenate(
-                [
-                    pos, dir_, tput, result,
-                    active.astype(jnp.float32)[None, :],
-                    rid.astype(jnp.float32)[None, :],
-                ],
-                axis=0,
-            )  # (14, R)
-            g = state.T[perm].T
-            pos, dir_, tput, result = g[0:3], g[3:6], g[6:9], g[9:12]
-            active = g[12] > 0.0
-            rid = g[13].astype(jnp.int32)
+            def sorted_state(pos, dir_, tput, result, active, rid):
+                skeys = ray_sort_keys(
+                    pos, dir_, aabb_lo, aabb_hi, config.sort_dir_bits
+                )
+                skeys = jnp.where(active, skeys, jnp.uint32(0xFFFFFFFF))
+                # Two-operand (key, iota) sort + ONE 14-row gather. r3
+                # shipped a single 15-payload lax.sort instead; r4
+                # measured that the variadic wide sort is the reason
+                # every ray-sorted config compiled in 160-180 s
+                # (everything else in those programs compiles in
+                # seconds) AND is far slower at runtime than its narrow
+                # form (isolated: 15 s vs 20 ms per 480k-ray call). rid
+                # rides the gather as f32 (exact below 2^24 rays).
+                perm = jax.lax.sort(
+                    (skeys, jnp.arange(R, dtype=jnp.int32)),
+                    dimension=0,
+                    num_keys=1,
+                )[1]
+                state = jnp.concatenate(
+                    [
+                        pos, dir_, tput, result,
+                        active.astype(jnp.float32)[None, :],
+                        rid.astype(jnp.float32)[None, :],
+                    ],
+                    axis=0,
+                )  # (14, R)
+                g = state.T[perm].T
+                return (g[0:3], g[3:6], g[6:9], g[9:12], g[12] > 0.0,
+                        g[13].astype(jnp.int32))
+
+            if config.sort_every <= 1:
+                pos, dir_, tput, result, active, rid = sorted_state(
+                    pos, dir_, tput, result, active, rid
+                )
+            else:
+                # Amortized sorting (sort_every > 1): the sort+gather is
+                # ~50 ms/segment at 1M rays — comparable to a whole
+                # traversal segment — while a slightly stale order keeps
+                # most of its value (coherence decays over one bounce;
+                # the dead-prefix compaction persists because dead lanes
+                # stay dead). Estimator-neutral either way: rays carry
+                # their id and draw id-indexed streams.
+                pos, dir_, tput, result, active, rid = jax.lax.cond(
+                    jax.lax.rem(seg_idx, config.sort_every) == 0,
+                    sorted_state,
+                    lambda *s: s,
+                    pos, dir_, tput, result, active, rid,
+                )
 
         def draw(sid):
             u = stream_uniform(key, sid, (R,))

@@ -238,3 +238,35 @@ def test_lane_group_gating_is_bit_identical():
             interpret=True, lane_group=lg,
         )
         assert bool(jnp.all(out == base)), lg
+
+
+def test_sort_every_is_estimator_neutral():
+    """Amortized sorting (sort_every > 1) must be bit-identical to
+    per-segment sorting and to the unsorted trace — rays carry their
+    id and draw id-indexed streams regardless of order."""
+    from montecarlopathtracer_tpu.render.integrator import (
+        TraceConfig,
+        trace_radiance_jit,
+    )
+
+    scene, cam = cornell.cornell_box(width=8, height=8)
+    R = 64
+    pix = jnp.arange(R)
+    o, d = cam.generate_rays(
+        pix % 8, pix // 8, jnp.full((R,), 0.2), jnp.full((R,), 0.6), 8, 8
+    )
+    k = jax.random.key(9)
+    com = dict(
+        mode="fixed", max_depth=3, intersector="traverse",
+        pallas_interpret=True, ray_chunk=0,
+    )
+    base = np.asarray(
+        trace_radiance_jit(scene, o, d, k, config=TraceConfig(**com))
+    )
+    for cfg in (
+        TraceConfig(ray_sort=True, **com),
+        TraceConfig(ray_sort=True, sort_every=2, **com),
+        TraceConfig(ray_sort=True, sort_every=4, **com),
+    ):
+        out = np.asarray(trace_radiance_jit(scene, o, d, k, config=cfg))
+        np.testing.assert_array_equal(out, base)
