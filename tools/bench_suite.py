@@ -16,6 +16,7 @@ Usage: python tools/bench_suite.py [--quick] [--only SUBSTR]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -122,6 +123,10 @@ def main() -> int:
 
     plan = [
         ("scene1_megakernel", s1, c1, mk(), 800, 600, spp, passes, None),
+        # whole-segment ablation: the split kernel+XLA-epilogue path
+        ("scene1_split_segment", s1, c1,
+         dataclasses.replace(mk(), whole_segment=False),
+         800, 600, spp, passes, None),
         ("scene1_cull", s1, c1, mk(cull=True), 800, 600, spp, passes, None),
         ("scene2_megakernel", s2, c2, mk(), 800, 600, spp, passes, None),
         ("scene2_cull", s2, c2, mk(cull=True), 800, 600, spp, passes, None),
