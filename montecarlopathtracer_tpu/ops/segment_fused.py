@@ -68,6 +68,10 @@ from .intersect_pallas import (
 
 _EPS = 1.19209290e-7  # FLT_EPSILON (ops/sampling.py)
 
+# Ray tile for the backward / rows-epilogue kernels (rank-1 row code:
+# longer is better until VMEM; see PERF.md r5 rank-1 note).
+_BWD_TILE = 2048
+
 
 # ---------------------------------------------------------------------------
 # Tuple-form ("rows") vector math: op-for-op transcriptions of
@@ -738,7 +742,8 @@ def _make_whole_segment(
         d_pos, d_dir, d_tput, d_res, d_full = segment_backward(
             pos3, dir3, tput, res, live, hit, full.T,
             u1, u2, urr, flags, ct_npos, ct_ndir, ct_ntput, ct_nres,
-            ray_tile=min(ray_tile, 2048), interpret=interpret, **kw,
+            ray_tile=min(ray_tile, _BWD_TILE), interpret=interpret,
+            **kw,
         )
         T_pad = rows.shape[0]
         if T_pad <= _SCATTER_ROWS_MAX_T:
