@@ -69,8 +69,9 @@ from .intersect_pallas import (
 _EPS = 1.19209290e-7  # FLT_EPSILON (ops/sampling.py)
 
 # Ray tile for the backward / rows-epilogue kernels (rank-1 row code:
-# longer is better until VMEM; see PERF.md r5 rank-1 note).
-_BWD_TILE = 2048
+# longer is better until VMEM; swept on-chip r5: 4096 best by ~1%,
+# gradients bit-identical across tiles).
+_BWD_TILE = 4096
 
 
 # ---------------------------------------------------------------------------
