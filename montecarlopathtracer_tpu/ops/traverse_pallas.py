@@ -212,6 +212,7 @@ def _traverse_kernel(
     exact: bool,
     terms: int = 3,
     lane_group: int = 0,
+    walk_unroll: int = 1,
 ):
     tc = t_chunk
     nc = ord_ref.shape[1]
@@ -354,22 +355,26 @@ def _traverse_kernel(
             else:
                 run_group()
 
-    def body(carry):
-        p, n_stop = carry
+    def one_pos(p, n_stop):
+        """Visit list position p: wait its slot, compute if the
+        position is still inside the (possibly tightened) stop bound
+        and any lane reaches, update the early-exit bound, prefetch
+        p+D. DMA wait/start are unconditional — semaphore accounting
+        must match on every control path."""
         slot = jax.lax.rem(p, D)
         j = ord_at(p)
         gm = gm_ref[row, jnp.minimum(p, nc - 1)]
         ws_dma(slot, j).wait()
 
         reach = reach_lanes(j, bt_ref[0, :])
-        do = jnp.any(reach)
+        do = jnp.any(reach) & (p < n_stop)
         jax.lax.cond(
             do, lambda: compute_chunk(slot, j, gm, reach), lambda: None
         )
 
         # Early exit: tmin is sorted ascending, so once the NEXT
         # chunk's distance bound exceeds every live lane's best-t, no
-        # remaining chunk can improve any lane — stop walking (the two
+        # remaining chunk can improve any lane — stop walking (the
         # in-flight prefetches are drained below). The bound is slack
         # by ~1 ulp of relative error: tmin lower-bounds hit t only for
         # exactly unit-length directions, and bounce directions carry
@@ -385,7 +390,18 @@ def _traverse_kernel(
         )
 
         ws_dma(slot, ord_at(p + D)).start()  # unconditional prefetch
-        return (p + 1, n_stop)
+        return n_stop
+
+    def body(carry):
+        # walk_unroll > 1 amortizes the while_loop's per-iteration
+        # scalar/carry overhead over several visits; the (p < n_stop)
+        # compute gate keeps the visit set EXACTLY the unrolled-1 set
+        # (positions past a freshly tightened bound wait/prefetch but
+        # never compute), so results are bit-identical for any unroll.
+        p, n_stop = carry
+        for u in range(walk_unroll):
+            n_stop = one_pos(p + u, n_stop)
+        return (p + walk_unroll, n_stop)
 
     p_end, _ = jax.lax.while_loop(
         lambda c: c[0] < c[1], body, (jnp.int32(0), n0)
@@ -405,7 +421,7 @@ def _traverse_kernel(
     jax.jit,
     static_argnames=(
         "ray_tile", "t_chunk", "interpret", "exact", "terms",
-        "lane_group", "dma_depth",
+        "lane_group", "dma_depth", "walk_unroll",
     ),
 )
 def traverse_select(
@@ -423,6 +439,7 @@ def traverse_select(
     terms: int = 3,
     lane_group: int = 0,
     dma_depth: int = 4,
+    walk_unroll: int = 1,
 ) -> jnp.ndarray:
     """Selection-only traversal walk: winner index i32[R] (−1 = miss),
     in the caller's (Morton-permuted) triangle order.
@@ -468,7 +485,7 @@ def traverse_select(
     idx = pl.pallas_call(
         functools.partial(
             _traverse_kernel, t_chunk=t_chunk, exact=exact, terms=terms,
-            lane_group=lane_group,
+            lane_group=lane_group, walk_unroll=walk_unroll,
         ),
         grid=(ntiles,),
         in_specs=[

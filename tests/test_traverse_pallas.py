@@ -238,6 +238,14 @@ def test_lane_group_gating_is_bit_identical():
             interpret=True, lane_group=lg,
         )
         assert bool(jnp.all(out == base)), lg
+    # walk_unroll processes the exact same visit set (the p < n_stop
+    # compute gate) — bit-identical for any unroll factor.
+    for wu in (2, 3):
+        out = traverse_select(
+            ws, clo, chi, pos3, dir3, t_chunk=sc, ray_tile=512,
+            interpret=True, lane_group=128, walk_unroll=wu,
+        )
+        assert bool(jnp.all(out == base)), wu
 
 
 def test_sort_every_is_estimator_neutral():
