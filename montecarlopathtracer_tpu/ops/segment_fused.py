@@ -87,14 +87,6 @@ def _dot3t(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
-def _scale3t(v, s):
-    return (v[0] * s, v[1] * s, v[2] * s)
-
-
-def _add3t(a, b):
-    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
-
-
 def _neg3t(v):
     return (-v[0], -v[1], -v[2])
 

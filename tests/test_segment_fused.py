@@ -94,6 +94,10 @@ def _render_pair(config_kw, base_kw=None, width=48, height=36, depth=3):
         dict(whole_segment=True, intersector="megakernel",
              phong_model="phong"),
         dict(whole_segment=True, intersector="traverse", ray_sort=True),
+        dict(whole_segment=True, intersector="traverse", mode="rr",
+             illum=1.0, ray_sort=True),
+        dict(whole_segment=True, intersector="megakernel",
+             chunk_cull=True, ray_sort=True),
     ],
 )
 def test_whole_segment_bit_identical(kw):
