@@ -1448,6 +1448,15 @@ def scatter_rows(
     if terms == 3:
         h, l1, l2 = _bf16_split3(dvals)
         dvk = jnp.concatenate([h, l1, l2], axis=0)  # (144, Rp)
+    elif terms == 2:
+        # 2-term split: N = 96 ≤ 128 — ONE output brick instead of two,
+        # HALF the MXU cost of terms=3, at O(2⁻¹⁶) relative truncation
+        # (the dropped l2 tail). The r5 grad profile found terms=3
+        # scatter_rows the single largest backward item (1.18 ms/call,
+        # AT its brick roofline) — and cotangents don't need 24-bit
+        # exactness, so the gradient paths use this tier.
+        h, l1, _ = _bf16_split3(dvals)
+        dvk = jnp.concatenate([h, l1], axis=0)  # (96, Rp)
     else:
         dvk = dvals.astype(jnp.bfloat16)
         terms = 1
@@ -1533,8 +1542,10 @@ def _recompute_winner_vjp(interpret: bool):
         )
         d_full, d_pos, d_dir = vjp(cts)  # all elementwise
         if T_pad <= _SCATTER_ROWS_MAX_T:
+            # terms=2: cotangent-grade exactness (~1e-5 rel) at half
+            # the MXU cost — see scatter_rows.
             d_rows = scatter_rows(
-                idx, d_full.T, T_pad, interpret=interpret
+                idx, d_full.T, T_pad, interpret=interpret, terms=2
             )
         else:
             d_rows = jnp.zeros((T_pad, 48), rows.dtype).at[tid].add(

@@ -617,6 +617,12 @@ def test_scatter_rows_matches_xla_scatter_add():
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
     # miss lanes (-1) contribute nothing
     assert got[~np.isin(np.arange(T_pad), idx[hit])].sum() == 0.0
+    # terms=2 (the gradient paths' tier): one output brick, ~1e-5 rel
+    got2 = np.asarray(
+        scatter_rows(jnp.asarray(idx), jnp.asarray(dvals), T_pad,
+                     ray_tile=256, interpret=True, terms=2)
+    )
+    np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-4)
 
 
 def test_scatter_rows_mid_size_T_sub_chunked():
