@@ -108,10 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "on", "off"],
         default="auto",
         help="megakernel: Morton-order triangles and skip chunks no "
-        "live ray reaches. 'auto' = OFF (explicit opt-in only — the "
-        "traversal intersector subsumes it with chunk-DMA skipping and "
-        "compiles far faster); ignored when the intersector resolves "
-        "to 'traverse'",
+        "live ray reaches. 'auto' = ON for open/mid-size scenes "
+        "(>1200 tris; measured scene2 7.4 vs 4.8, glossy 9.8 vs 7.2 "
+        "Msamples/s), OFF for closed small boxes; ignored when the "
+        "intersector resolves to 'traverse' (which subsumes it)",
     )
     p.add_argument(
         "--ray-sort",
@@ -119,8 +119,9 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         help="re-sort bounce wavefronts by (origin Morton, direction "
         "octant) each segment for kernel-tile coherence; bit-exact. "
-        "'auto' = on for scenes bigger/more open than a Cornell box "
-        "(>1200 tris) and always for the traversal intersector",
+        "'auto' = on ONLY for the traversal intersector (huge scenes, "
+        "where it is worth 2x) — at Cornell/glossy scale the sort "
+        "costs more than the segments it helps (BENCH_SCENES r5)",
     )
     p.add_argument(
         "--ray-tile",
@@ -269,11 +270,17 @@ def main(argv=None) -> int:
     def tristate(v, auto: bool) -> bool:
         return auto if v == "auto" else v == "on"
 
-    # Explicit opt-in only: the traversal kernel is the faster way to
-    # get chunk skipping (see above).
-    chunk_cull = tristate(args.chunk_cull, False) and (
-        intersector == "megakernel"
-    )
+    # r5 auto policy, from the committed matrix (BENCH_SCENES): on
+    # open mid-size scenes chunk-cull WITHOUT sorting wins big
+    # (scene2 7.44 vs 4.82 plain, glossy 9.84 vs 7.23 — and sorting
+    # these ruins it: glossy cull+sort 2.96, the per-segment sort
+    # costs more than Cornell-scale segments); on closed small boxes
+    # plain is best (scene1 10.36 vs cull 9.31); huge scenes take the
+    # traversal walk, where per-segment sorting is decisively right
+    # (bunny 0.67 sorted vs 0.35 unsorted).
+    chunk_cull = tristate(
+        args.chunk_cull, open_or_large
+    ) and intersector == "megakernel"
     if args.chunk_cull == "on" and not chunk_cull:
         print(
             f"note: --chunk-cull on ignored (intersector={intersector!r} "
@@ -281,7 +288,7 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
     ray_sort = tristate(
-        args.ray_sort, open_or_large or intersector == "traverse"
+        args.ray_sort, intersector == "traverse"
     ) and intersector in ("megakernel", "traverse")
 
     accel = None
