@@ -1125,94 +1125,93 @@ def _v4_process_chunk(
     assert t_chunk % sub == 0, (t_chunk, sub)
     tc = t_chunk // sub  # fine-chunk size (== t_chunk when sub == 1)
     Rt = bt_ref.shape[1]
-    if True:
-        # Transform chunks stream as compact f32 (8, 6·tc·sub) and the
-        # exact K=48 split packing is built HERE, per chunk — 3× less
-        # HBM traffic than streaming pre-split bf16 (the binding
-        # constraint at bunny scale: cull skips compute, not DMA), for
-        # ~10 VPU ops on an (8, 6·tc) block.
-        ws_blk = ws_ref[:]  # (8, 6·tc·sub)
-        # Sequential per fine chunk — one live (6·tc, Rt) intermediate
-        # bounds VMEM (issuing every contraction up front OOMs scoped
-        # vmem at useful tile sizes, and measured no overlap win).
-        col = jax.lax.broadcasted_iota(jnp.int32, (tc, Rt), 0)
-        for s in range(sub):
-            blk = ws_blk[:, s * 6 * tc : (s + 1) * 6 * tc]
-            w_k = (
-                _split_cat(blk, 0, "hhll", terms)
-                if exact
-                else blk.astype(jnp.bfloat16)
-            )
-            p = jax.lax.dot_general(
-                w_k,  # (K, 6·tc)
-                rk_ref[:],  # (K, Rt)
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (6·tc, Rt)
-            opx = p[0 * tc : 1 * tc]
-            opy = p[1 * tc : 2 * tc]
-            q = p[2 * tc : 3 * tc]  # −o'z (negated at pack time)
-            dpx = p[3 * tc : 4 * tc]
-            dpy = p[4 * tc : 5 * tc]
-            w = p[5 * tc : 6 * tc]  # d'z
-            r = pl.reciprocal(w, approx=True)
-            r = r * (2.0 - w * r)  # one Newton step → ~1 ulp
-            t = q * r
-            beta = opx + t * dpx
-            gamma = opy + t * dpy
-            mm = jnp.minimum(jnp.minimum(beta, gamma), t)
-            mm = jnp.minimum(mm, 1.0 - (beta + gamma))
-            tm = jnp.where(mm > 0.0, t, _BIG)
-            c_min = jnp.min(tm, axis=0)  # (Rt,)
-            c_idx = jnp.min(
-                jnp.where(tm <= c_min[None, :], col, jnp.int32(2**31 - 1)),
-                axis=0,
-            )  # local winner column (tc sentinel-free: INT_MAX when none)
-            better = c_min < bt_ref[0, :]
-            # exact one-hot of the single winning column (ties resolve
-            # to the smallest index above, so exactly one true per
-            # better lane)
-            win = (col == c_idx[None, :]) & better[None, :]
-            # Winner-row fetch as ONE MXU contraction. Mosaic lowers
-            # f32 dot_general to single-pass bf16 (no HIGHEST), so the
-            # f32 shading block (columns 12:44 — the only rows the
-            # kernel consumes; 0:12 geometry is epilogue/backward-only)
-            # is split into a 3-term bf16 truncation stack along the
-            # OUTPUT axis — (tc, 96), one MXU brick since 96 ≤ 128 —
-            # and the three 32-row product blocks are summed after the
-            # matmul: {0,1} one-hot entries are exact in bf16, so
-            # h·w + l1·w + l2·w reconstructs the row exactly. (r3
-            # stacked the split on the contraction axis — (3·tc, 48),
-            # K = 3·tc — which costs 3× the MXU bricks for the same
-            # product: pass cost is ceil(M/128)·ceil(K/128)·ceil(N/128)
-    # and the K-stack tripled ceil(K/128); PERF.md r4.)
-            rows_blk = rows_ref[s * tc : (s + 1) * tc, 12:44]  # (tc, 32)
-            onehot = win.astype(jnp.bfloat16)
-            if exact:
-                # Always 3 terms for the rows (exact even when the
-                # selection runs at terms=2): 96 ≤ 128 is still one
-                # N-brick, so full precision here is free.
-                h, l1, l2 = _bf16_split3(rows_blk)
-                rows_k = jnp.concatenate([h, l1, l2], axis=1)  # (tc, 96)
-            else:
-                rows_k = rows_blk.astype(jnp.bfloat16)
-            row_c = jax.lax.dot_general(
-                rows_k,  # (tc, 96 | 32) bf16
-                onehot,  # (tc, Rt)
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (96 | 32, Rt)
-            if exact:
-                row_c = row_c[0:32] + row_c[32:64] + row_c[64:96]
-            b_c = jnp.sum(jnp.where(win, beta, 0.0), axis=0)
-            g_c = jnp.sum(jnp.where(win, gamma, 0.0), axis=0)
-            bt_ref[0, :] = jnp.where(better, c_min, bt_ref[0, :])
-            bi_ref[0, :] = jnp.where(
-                better, c_idx + ci * t_chunk + s * tc, bi_ref[0, :]
-            )
-            bb_ref[0, :] = jnp.where(better, b_c, bb_ref[0, :])
-            bg_ref[0, :] = jnp.where(better, g_c, bg_ref[0, :])
-            brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
+    # Transform chunks stream as compact f32 (8, 6·tc·sub) and the
+    # exact K=48 split packing is built HERE, per chunk — 3× less
+    # HBM traffic than streaming pre-split bf16 (the binding
+    # constraint at bunny scale: cull skips compute, not DMA), for
+    # ~10 VPU ops on an (8, 6·tc) block.
+    ws_blk = ws_ref[:]  # (8, 6·tc·sub)
+    # Sequential per fine chunk — one live (6·tc, Rt) intermediate
+    # bounds VMEM (issuing every contraction up front OOMs scoped
+    # vmem at useful tile sizes, and measured no overlap win).
+    col = jax.lax.broadcasted_iota(jnp.int32, (tc, Rt), 0)
+    for s in range(sub):
+        blk = ws_blk[:, s * 6 * tc : (s + 1) * 6 * tc]
+        w_k = (
+            _split_cat(blk, 0, "hhll", terms)
+            if exact
+            else blk.astype(jnp.bfloat16)
+        )
+        p = jax.lax.dot_general(
+            w_k,  # (K, 6·tc)
+            rk_ref[:],  # (K, Rt)
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (6·tc, Rt)
+        opx = p[0 * tc : 1 * tc]
+        opy = p[1 * tc : 2 * tc]
+        q = p[2 * tc : 3 * tc]  # −o'z (negated at pack time)
+        dpx = p[3 * tc : 4 * tc]
+        dpy = p[4 * tc : 5 * tc]
+        w = p[5 * tc : 6 * tc]  # d'z
+        r = pl.reciprocal(w, approx=True)
+        r = r * (2.0 - w * r)  # one Newton step → ~1 ulp
+        t = q * r
+        beta = opx + t * dpx
+        gamma = opy + t * dpy
+        mm = jnp.minimum(jnp.minimum(beta, gamma), t)
+        mm = jnp.minimum(mm, 1.0 - (beta + gamma))
+        tm = jnp.where(mm > 0.0, t, _BIG)
+        c_min = jnp.min(tm, axis=0)  # (Rt,)
+        c_idx = jnp.min(
+            jnp.where(tm <= c_min[None, :], col, jnp.int32(2**31 - 1)),
+            axis=0,
+        )  # local winner column (tc sentinel-free: INT_MAX when none)
+        better = c_min < bt_ref[0, :]
+        # exact one-hot of the single winning column (ties resolve
+        # to the smallest index above, so exactly one true per
+        # better lane)
+        win = (col == c_idx[None, :]) & better[None, :]
+        # Winner-row fetch as ONE MXU contraction. Mosaic lowers
+        # f32 dot_general to single-pass bf16 (no HIGHEST), so the
+        # f32 shading block (columns 12:44 — the only rows the
+        # kernel consumes; 0:12 geometry is epilogue/backward-only)
+        # is split into a 3-term bf16 truncation stack along the
+        # OUTPUT axis — (tc, 96), one MXU brick since 96 ≤ 128 —
+        # and the three 32-row product blocks are summed after the
+        # matmul: {0,1} one-hot entries are exact in bf16, so
+        # h·w + l1·w + l2·w reconstructs the row exactly. (r3
+        # stacked the split on the contraction axis — (3·tc, 48),
+        # K = 3·tc — which costs 3× the MXU bricks for the same
+        # product: pass cost is ceil(M/128)·ceil(K/128)·ceil(N/128)
+        # and the K-stack tripled ceil(K/128); PERF.md r4.)
+        rows_blk = rows_ref[s * tc : (s + 1) * tc, 12:44]  # (tc, 32)
+        onehot = win.astype(jnp.bfloat16)
+        if exact:
+            # Always 3 terms for the rows (exact even when the
+            # selection runs at terms=2): 96 ≤ 128 is still one
+            # N-brick, so full precision here is free.
+            h, l1, l2 = _bf16_split3(rows_blk)
+            rows_k = jnp.concatenate([h, l1, l2], axis=1)  # (tc, 96)
+        else:
+            rows_k = rows_blk.astype(jnp.bfloat16)
+        row_c = jax.lax.dot_general(
+            rows_k,  # (tc, 96 | 32) bf16
+            onehot,  # (tc, Rt)
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (96 | 32, Rt)
+        if exact:
+            row_c = row_c[0:32] + row_c[32:64] + row_c[64:96]
+        b_c = jnp.sum(jnp.where(win, beta, 0.0), axis=0)
+        g_c = jnp.sum(jnp.where(win, gamma, 0.0), axis=0)
+        bt_ref[0, :] = jnp.where(better, c_min, bt_ref[0, :])
+        bi_ref[0, :] = jnp.where(
+            better, c_idx + ci * t_chunk + s * tc, bi_ref[0, :]
+        )
+        bb_ref[0, :] = jnp.where(better, b_c, bb_ref[0, :])
+        bg_ref[0, :] = jnp.where(better, g_c, bg_ref[0, :])
+        brow_ref[:] = jnp.where(better[None, :], row_c, brow_ref[:])
 
 
 @functools.partial(
@@ -1690,15 +1689,17 @@ def ray_sort_keys(
     # (bounce wavefronts; primary rays share the direction bin anyway).
     # Fit in u32: dir_bits=3 → 15 coarse | 3 dir | 12 fine (the
     # r3-tuned layout); dir_bits=6 → 13 coarse | 6 dir | 13 fine —
-    # the extra direction bits trade away one TOP coarse bit (the
-    # least useful), and the coarse/fine split stays gap-free so no
-    # origin Morton bit is dropped from the key (ADVICE r4).
+    # the extra direction bits trade away the BOTTOM fine bit (the
+    # least significant origin bit, worth ~nothing to tile
+    # coherence), keeping the full 13 coarse MSBs intact — dropping
+    # a top coarse bit instead would merge opposite scene halves
+    # into every bucket (review r5).
     if dir_bits == 3:
         coarse = morton >> 12
         fine = morton & jnp.uint32(0xFFF)
         return (coarse << 15) | (dkey << 12) | fine
-    coarse = (morton >> 13) & jnp.uint32(0x1FFF)
-    fine = morton & jnp.uint32(0x1FFF)
+    coarse = morton >> 14  # bits 14..26 (13 bits, MSBs intact)
+    fine = (morton >> 1) & jnp.uint32(0x1FFF)  # bits 1..13
     return (coarse << 19) | (dkey << 13) | fine
 
 

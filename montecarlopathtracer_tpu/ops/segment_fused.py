@@ -822,7 +822,10 @@ def _make_whole_segment_rows(
         d_pos, d_dir, d_tput, d_res, d_full = segment_backward(
             pos3, dir3, tput, res, live, hit, full.T,
             u1, u2, urr, flags, ct_npos, ct_ndir, ct_ntput, ct_nres,
-            ray_tile=ray_tile, interpret=interpret, **kw,
+            # The backward holds ~2x the forward's rows (d_full + vjp
+            # intermediates): cap its tile like the megakernel path.
+            ray_tile=min(ray_tile, _BWD_TILE), interpret=interpret,
+            **kw,
         )
         T_pad = rows.shape[0]
         if T_pad <= _SCATTER_ROWS_MAX_T:

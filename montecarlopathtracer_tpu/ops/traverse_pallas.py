@@ -131,7 +131,12 @@ def tile_chunk_order(
     nc = clo.shape[0]
     lg = lane_group if lane_group else ray_tile
     ng = ray_tile // lg
-    assert ng * lg == ray_tile and ng <= 32, (ray_tile, lane_group)
+    if ng * lg != ray_tile or ng > 32:
+        raise ValueError(
+            f"lane_group {lane_group} must divide ray_tile {ray_tile} "
+            f"into at most 32 groups (the per-chunk reach bitmask is "
+            f"an i32); got {ng} groups"
+        )
     nt_g = ntiles * ng
     lv = (live.reshape(nt_g, lg) > 0.0)[:, None, :]  # [ntg,1,lg]
     p = pos3.reshape(3, nt_g, lg).transpose(1, 0, 2)  # [ntg,3,lg]

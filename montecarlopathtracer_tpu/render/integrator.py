@@ -245,12 +245,22 @@ def _auto_lane_group(config: "TraceConfig", rt: int) -> int:
     """Lane-group width for the traversal kernel: config override or
     the measured r4 default (256 for tiles > 512), clamped to the
     largest 128-aligned divisor of the tile — a non-divisor would
-    leave tail lanes untested against any chunk (ADVICE r4)."""
+    leave tail lanes untested against any chunk (ADVICE r4) — and to
+    at most 32 groups per tile (the per-chunk reach bitmask is i32)."""
     lg = config.lane_group or (256 if rt > 512 else 0)
+    if lg % 128:
+        raise ValueError(
+            f"lane_group must be a multiple of the TPU lane width 128, "
+            f"got {lg}"
+        )
     if lg >= rt:
         return 0
-    while lg and rt % lg:
+    while lg > 0 and rt % lg:
         lg -= 128
+    if lg and rt // lg > 32:
+        lg = -(-rt // 32 // 128) * 128  # smallest 128-multiple ≥ rt/32
+        while rt % lg:
+            lg += 128
     return lg
 
 
