@@ -427,8 +427,15 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             # in-kernel epilogue is rank-1 rows, whose per-op vector
             # length is the tile; at 2048 it is instruction-bound
             # (measured 5.90 vs 8.24 Msamples/s at 4096; 8192 loses
-            # the chunk-loop tuning, 16384 OOMs VMEM).
-            wdefault = default_rt if traverse else 4096
+            # the chunk-loop tuning, 16384 OOMs VMEM). CULL configs
+            # prefer 2048: finer per-tile reach beats epilogue vector
+            # length (scene2 7.86 vs 7.49, glossy 10.56 vs 9.91).
+            if traverse:
+                wdefault = default_rt
+            elif config.chunk_cull:
+                wdefault = 2048
+            else:
+                wdefault = 4096
             rt = config.ray_tile or min(wdefault, r512)
             ep = dict(
                 mode=config.mode, illum=config.illum,
