@@ -437,6 +437,14 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
             else:
                 wdefault = 4096
             rt = config.ray_tile or min(wdefault, r512)
+            if not config.ray_tile and not traverse:
+                # Snap the auto tile to an exact divisor of the
+                # wavefront when one exists nearby: zero pad lanes and
+                # no pad/slice ops around the kernel (480k rays: 3840
+                # instead of 4096). Results are tile-size invariant.
+                from ..ops.segment_fused import _divisor_tile
+
+                rt = _divisor_tile(pos3.shape[1], rt)
             ep = dict(
                 mode=config.mode, illum=config.illum,
                 eps_offset=config.eps_offset,
