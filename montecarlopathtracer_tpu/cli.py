@@ -154,6 +154,17 @@ def build_parser() -> argparse.ArgumentParser:
         "gate-exact); 'default' = single-pass bf16 (fast, flips ~2%% "
         "of winners near triangle edges)",
     )
+    p.add_argument(
+        "--regen",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="regenerating wavefront (render/regen.py): lanes restart "
+        "the next sample the step their path dies, keeping ~100%% "
+        "occupancy through RR tails (scene1 RR: 6.5 -> 10.7 "
+        "Msamples/s at 4 spp/pass, 15.8 at 64). 'auto' = on for "
+        "mode=rr with a Pallas intersector; unbiased but not "
+        "pass-exact vs the scan integrator for spp > 1",
+    )
     p.add_argument("--tonemap", choices=["linear", "gamma"], default="linear")
     p.add_argument(
         "--accum",
@@ -320,6 +331,15 @@ def main(argv=None) -> int:
         phong_model=args.phong_model,
         whole_segment=args.whole_segment == "on",
     )
+    # Regen auto policy (measured r5, BENCH_SCENES): RR mode gains
+    # 1.6-2.4x from wavefront regeneration (dead-lane refill) at any
+    # spp; fixed mode only wins at spp/pass >= 16 (fewer early
+    # terminations to recover), so auto keeps it off there.
+    regen = args.regen == "on" or (
+        args.regen == "auto"
+        and args.mode == "rr"
+        and intersector in ("megakernel", "traverse")
+    )
     settings = RenderSettings(
         width=args.width,
         height=args.height,
@@ -332,6 +352,7 @@ def main(argv=None) -> int:
         preview=args.preview,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        regen=regen,
     )
     log = RenderLog(enabled=not args.quiet)
     r = Renderer(scene, camera, config, settings, log=log, accel=accel)

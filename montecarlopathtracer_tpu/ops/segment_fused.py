@@ -390,8 +390,15 @@ def _write3(ref, v):
 def _mega_segment_kernel(
     *refs, t_chunk, cull, exact, terms, sub,
     mode, illum, eps_offset, refract_kd, phong_model,
+    lane_flags=False,
 ):
-    """v4 chunk loop + in-kernel segment epilogue at the last chunk."""
+    """v4 chunk loop + in-kernel segment epilogue at the last chunk.
+
+    ``lane_flags``: flags arrive as per-lane f32 rows (3, Rt) in VMEM
+    instead of per-segment scalars in SMEM — the regenerating-wavefront
+    integrator (render/regen.py) mixes lanes at different path depths
+    in one wavefront, so final-gather/do_rr/hard_kill become per-lane
+    predicates (`_epilogue_core` is elementwise either way)."""
     if cull:
         (rays_ref, live_ref, ws_ref, rows_ref, clo_ref, chi_ref,
          tput_ref, res_ref, u1_ref, u2_ref, urr_ref, flags_ref,
@@ -457,15 +464,21 @@ def _mega_segment_kernel(
         shade = tuple(brow_ref[k, :] * hitf for k in range(32))
         pos = (rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
         dir_ = (rays_ref[4, :], rays_ref[5, :], rays_ref[6, :])
+        if lane_flags:
+            fg = flags_ref[0, :] > 0.0
+            do_rr = flags_ref[1, :] > 0.0
+            hard_kill = flags_ref[2, :] > 0.0
+        else:
+            fg = flags_ref[0, 0] > 0.0
+            do_rr = flags_ref[1, 0] > 0.0
+            hard_kill = flags_ref[2, 0] > 0.0
         new_pos, new_dir, new_tput, new_res, still = _epilogue_core(
             pos, dir_,
             _rows3(tput_ref), _rows3(res_ref),
             t, beta, gamma, shade,
             hit=hit, act=live,
             u1=u1_ref[0, :], u2=u2_ref[0, :], urr=urr_ref[0, :],
-            fg=flags_ref[0, 0] > 0.0,
-            do_rr=flags_ref[1, 0] > 0.0,
-            hard_kill=flags_ref[2, 0] > 0.0,
+            fg=fg, do_rr=do_rr, hard_kill=hard_kill,
             mode=mode, illum=illum, eps_offset=eps_offset,
             refract_kd=refract_kd, phong_model=phong_model,
         )
@@ -481,6 +494,7 @@ def _mega_segment_kernel(
     static_argnames=(
         "ray_tile", "t_chunk", "interpret", "exact", "cull", "terms",
         "sub", "mode", "illum", "eps_offset", "refract_kd", "phong_model",
+        "lane_flags",
     ),
 )
 def mega_segment_fwd(
@@ -491,12 +505,15 @@ def mega_segment_fwd(
     terms: int = 3, sub: int = 1,
     mode: str = "fixed", illum: float = 10.0, eps_offset: float = 0.01,
     refract_kd: bool = True, phong_model: str = "blinn",
+    lane_flags: bool = False,
 ):
     """Whole-segment forward: ONE pallas_call returns
     (idx i32[R], new_pos, new_dir, new_tput, new_result f32[3, R],
     still f32[R]). Interface mirrors `nearest_shade_full` plus the
     epilogue state (tput/res f32[3, R], uniforms f32[R], flags
-    f32[3, 1] = [final_gather, do_rr, hard_kill])."""
+    f32[3, 1] = [final_gather, do_rr, hard_kill] — or f32[3, R]
+    per-lane predicates with ``lane_flags``, see
+    `_mega_segment_kernel`)."""
     R = pos3.shape[1]
     K_T6 = ws.shape[1]
     assert K_T6 % (6 * t_chunk) == 0, (K_T6, t_chunk)
@@ -517,6 +534,8 @@ def mega_segment_fwd(
             )
         pos3, dir3, tput, res = map(padv, (pos3, dir3, tput, res))
         live_f, u1, u2, urr = map(padv, (live_f, u1, u2, urr))
+        if lane_flags:
+            flags = padv(flags)
     Rp = R + pad
     rays = _soa_rays(pos3, dir3, Rp)
 
@@ -542,8 +561,10 @@ def mega_segment_fwd(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         args += [clo, chi]
-    in_specs += [vec(3), vec(3), vec(1), vec(1), vec(1),
-                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+    flags_spec = (
+        vec(3) if lane_flags else pl.BlockSpec(memory_space=pltpu.SMEM)
+    )
+    in_specs += [vec(3), vec(3), vec(1), vec(1), vec(1), flags_spec]
     args += [tput, res, u1, u2, urr, flags]
 
     outs = pl.pallas_call(
@@ -552,6 +573,7 @@ def mega_segment_fwd(
             exact=exact, terms=terms, sub=sub,
             mode=mode, illum=illum, eps_offset=eps_offset,
             refract_kd=refract_kd, phong_model=phong_model,
+            lane_flags=lane_flags,
         ),
         grid=(Rp // ray_tile, nc),
         in_specs=in_specs,
@@ -888,6 +910,7 @@ def whole_segment_rows(
 
 def _rows_segment_kernel(
     *refs, mode, illum, eps_offset, refract_kd, phong_model,
+    lane_flags=False,
 ):
     (pos_ref, dir_ref, tput_ref, res_ref, act_ref, hit_ref, full_ref,
      u1_ref, u2_ref, urr_ref, flags_ref,
@@ -897,14 +920,20 @@ def _rows_segment_kernel(
     dir_ = _rows3(dir_ref)
     full = tuple(full_ref[k, :] for k in range(48))
     t, beta, gamma, shade = _recompute_rows(full, hit, pos, dir_)
+    if lane_flags:
+        fg = flags_ref[0, :] > 0.0
+        do_rr = flags_ref[1, :] > 0.0
+        hard_kill = flags_ref[2, :] > 0.0
+    else:
+        fg = flags_ref[0, 0] > 0.0
+        do_rr = flags_ref[1, 0] > 0.0
+        hard_kill = flags_ref[2, 0] > 0.0
     new_pos, new_dir, new_tput, new_res, still = _epilogue_core(
         pos, dir_, _rows3(tput_ref), _rows3(res_ref),
         t, beta, gamma, shade,
         hit=hit, act=act_ref[0, :] > 0.0,
         u1=u1_ref[0, :], u2=u2_ref[0, :], urr=urr_ref[0, :],
-        fg=flags_ref[0, 0] > 0.0,
-        do_rr=flags_ref[1, 0] > 0.0,
-        hard_kill=flags_ref[2, 0] > 0.0,
+        fg=fg, do_rr=do_rr, hard_kill=hard_kill,
         mode=mode, illum=illum, eps_offset=eps_offset,
         refract_kd=refract_kd, phong_model=phong_model,
     )
@@ -920,6 +949,7 @@ def _rows_segment_kernel(
     static_argnames=(
         "ray_tile", "interpret",
         "mode", "illum", "eps_offset", "refract_kd", "phong_model",
+        "lane_flags",
     ),
 )
 def rows_segment_fwd(
@@ -927,6 +957,7 @@ def rows_segment_fwd(
     ray_tile: int = 2048, interpret: bool = False,
     mode: str = "fixed", illum: float = 10.0, eps_offset: float = 0.01,
     refract_kd: bool = True, phong_model: str = "blinn",
+    lane_flags: bool = False,
 ):
     """Fused traverse epilogue forward: winner recompute + sampling +
     state update from pre-gathered rows ``fullT f32[48, R]`` as one
@@ -948,6 +979,8 @@ def rows_segment_fwd(
         (pos3, dir3, tput, res, act, hit, fullT, u1, u2, urr) = map(
             padv, (pos3, dir3, tput, res, act, hit, fullT, u1, u2, urr)
         )
+        if lane_flags:
+            flags = padv(flags)
     Rp = R + pad
 
     def vec(k):
@@ -959,13 +992,14 @@ def rows_segment_fwd(
         functools.partial(
             _rows_segment_kernel, mode=mode, illum=illum,
             eps_offset=eps_offset, refract_kd=refract_kd,
-            phong_model=phong_model,
+            phong_model=phong_model, lane_flags=lane_flags,
         ),
         grid=(Rp // ray_tile,),
         in_specs=[
             vec(3), vec(3), vec(3), vec(3), vec(1), vec(1), vec(48),
             vec(1), vec(1), vec(1),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vec(3) if lane_flags
+            else pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(vec(3), vec(3), vec(3), vec(3), vec(1)),
         out_shape=(

@@ -414,10 +414,18 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 shade = checkpoint_name(shade, "mcpt_seg")
             return idx, tbg, shade
 
-        def whole(pos3, dir3, tput, res, live, u1, u2, urr, flags):
+        def whole(pos3, dir3, tput, res, live, u1, u2, urr, flags,
+                  lane=False):
             """Whole-segment step (config.whole_segment): returns
-            (new_pos, new_dir, new_tput, new_result, still_bool)."""
+            (new_pos, new_dir, new_tput, new_result, still_bool).
+
+            ``lane=True``: flags is per-lane f32[3, R] (the
+            regenerating-wavefront integrator mixes path depths in one
+            wavefront, render/regen.py); inference-only — the lane
+            path calls the forward kernels directly, no custom_vjp."""
             from ..ops.segment_fused import (
+                mega_segment_fwd,
+                rows_segment_fwd,
                 whole_segment_megakernel,
                 whole_segment_rows,
             )
@@ -472,10 +480,28 @@ def _make_intersect_shade(scene: ScenePack, config: TraceConfig, accel):
                 # The fused epilogue kernel's tile is independent of
                 # the walk tile; rank-1 rows want long vectors (see
                 # wdefault note above).
-                npos, ndir, ntput, nres, still = whole_segment_rows(
-                    rows, idx, pos3, dir3, tput, res, live,
-                    u1, u2, urr, flags,
-                    ray_tile=8192, **ep,
+                if lane:
+                    hit = idx >= 0
+                    full = rows[jnp.maximum(idx, 0)]  # (R, 48)
+                    npos, ndir, ntput, nres, still = rows_segment_fwd(
+                        pos3, dir3, tput, res, live, hit, full.T,
+                        u1, u2, urr, flags,
+                        ray_tile=8192, lane_flags=True, **ep,
+                    )
+                else:
+                    npos, ndir, ntput, nres, still = whole_segment_rows(
+                        rows, idx, pos3, dir3, tput, res, live,
+                        u1, u2, urr, flags,
+                        ray_tile=8192, **ep,
+                    )
+            elif lane:
+                _, npos, ndir, ntput, nres, still = mega_segment_fwd(
+                    ws, rows, pos3, dir3, tput, res, live,
+                    u1, u2, urr, flags, clo, chi,
+                    ray_tile=rt, t_chunk=sc,
+                    cull=config.chunk_cull,
+                    exact=exact, terms=terms, sub=sub,
+                    lane_flags=True, **ep,
                 )
             else:
                 _, npos, ndir, ntput, nres, still = (

@@ -64,6 +64,13 @@ class RenderSettings:
     # swapchain present (CUTracer.cu:392-393, GraphicsRTX.cpp:211-230).
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0  # passes between checkpoints (0 = off)
+    regen: bool = False  # regenerating-wavefront passes (render/
+    # regen.py): lanes restart the next sample the step their path
+    # dies, so RR-mode tails keep ~100% occupancy instead of decaying
+    # over 16 static segments. Unbiased, deterministic, but not
+    # pass-exact vs the scan integrator for spp_per_pass > 1; needs a
+    # Pallas whole-segment intersector. Measured on scene1 RR: see
+    # BENCH_SCENES.json r5.
 
 
 def _pass_step(
@@ -105,6 +112,31 @@ def _pass_step(
     return update(film, total.transpose(1, 2, 0) / spp, float(spp))
 
 
+def _pass_step_regen(
+    scene: ScenePack,
+    camera: Camera,
+    film: Film,
+    key: jax.Array,
+    accel=None,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+    accum: str = "linear",
+) -> Film:
+    """One regenerating-wavefront pass (RenderSettings.regen): the mean
+    of ``spp`` samples/pixel from one persistent wavefront, folded into
+    the film with weight ``spp``."""
+    from .regen import render_regen_planar
+
+    img = render_regen_planar(
+        scene, camera, key, width, height, spp, config, accel
+    )
+    update = film_update_gamma if accum == "gamma" else film_update
+    return update(film, img.transpose(1, 2, 0), float(spp))
+
+
 class Renderer:
     """Progressive path-tracing driver bound to one scene + camera."""
 
@@ -126,7 +158,7 @@ class Renderer:
         s = settings
         self._step = jax.jit(
             functools.partial(
-                _pass_step,
+                _pass_step_regen if s.regen else _pass_step,
                 width=s.width,
                 height=s.height,
                 spp=s.spp_per_pass,

@@ -37,14 +37,16 @@ def _sync(film):
     return float(np.asarray(film.color[0, 0, 0]))
 
 
-def run_config(name, scene, cam, config, width, height, spp, passes, accel=None):
+def run_config(name, scene, cam, config, width, height, spp, passes,
+               accel=None, regen=False):
     from montecarlopathtracer_tpu.render.renderer import (
         Renderer,
         RenderSettings,
     )
 
     settings = RenderSettings(
-        width=width, height=height, spp_per_pass=spp, seed=0
+        width=width, height=height, spp_per_pass=spp, seed=0,
+        regen=regen,
     )
     r = Renderer(scene, cam, config, settings, accel=accel)
     t0 = time.perf_counter()
@@ -151,6 +153,11 @@ def main() -> int:
         # RR termination mode (the MCRT backend's estimator; 16 segments
         # worst case) — VERDICT r2 missing #3
         ("scene1_rr_megakernel", s1, c1, mk(mode="rr"), 800, 600, spp, passes, None),
+        # Regenerating wavefront (render/regen.py): dead lanes restart
+        # the next sample immediately — the CLI auto default for RR.
+        ("scene1_rr_regen", s1, c1, mk(mode="rr"), 800, 600, spp, passes, None, True),
+        ("scene1_rr_regen_spp32", s1, c1, mk(mode="rr"), 800, 600, 32, 1, None, True),
+        ("scene1_regen_spp16", s1, c1, mk(), 800, 600, 16, 1, None, True),
     ]
     kd_skip = None
     if args.kdtree and jax.default_backend() == "tpu":
