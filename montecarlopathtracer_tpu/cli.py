@@ -161,9 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="regenerating wavefront (render/regen.py): lanes restart "
         "the next sample the step their path dies, keeping ~100%% "
         "occupancy through RR tails (scene1 RR: 6.5 -> 10.7 "
-        "Msamples/s at 4 spp/pass, 15.8 at 64). 'auto' = on for "
-        "mode=rr with a Pallas intersector; unbiased but not "
-        "pass-exact vs the scan integrator for spp > 1",
+        "Msamples/s at 4 spp/pass, 15.8 at 64). 'auto' = on for the "
+        "megakernel intersector in rr mode, or in fixed mode at "
+        ">=16 spp/pass; unbiased but not pass-exact vs the scan "
+        "integrator for spp > 1",
     )
     p.add_argument("--tonemap", choices=["linear", "gamma"], default="linear")
     p.add_argument(
@@ -333,12 +334,16 @@ def main(argv=None) -> int:
     )
     # Regen auto policy (measured r5, BENCH_SCENES): RR mode gains
     # 1.6-2.4x from wavefront regeneration (dead-lane refill) at any
-    # spp; fixed mode only wins at spp/pass >= 16 (fewer early
-    # terminations to recover), so auto keeps it off there.
+    # spp. Fixed mode wins only at spp/pass >= 16 (fewer early
+    # terminations to amortize the straggler tail): scene1 +7%,
+    # glossy cull +25%. NEVER auto for traverse — regen ignores
+    # ray_sort, and the traversal walk lives on sorted coherence
+    # (bunny measured 0.34 vs 0.67 Msamples/s; the scan path's sort
+    # already compacts dead lanes into skipped tiles there).
     regen = args.regen == "on" or (
         args.regen == "auto"
-        and args.mode == "rr"
-        and intersector in ("megakernel", "traverse")
+        and intersector == "megakernel"
+        and (args.mode == "rr" or args.spp_per_pass >= 16)
     )
     settings = RenderSettings(
         width=args.width,

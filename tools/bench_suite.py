@@ -158,6 +158,7 @@ def main() -> int:
         ("scene1_rr_regen", s1, c1, mk(mode="rr"), 800, 600, spp, passes, None, True),
         ("scene1_rr_regen_spp32", s1, c1, mk(mode="rr"), 800, 600, 32, 1, None, True),
         ("scene1_regen_spp16", s1, c1, mk(), 800, 600, 16, 1, None, True),
+        ("glossy_cull_regen_spp16", sg, cg, mk(cull=True), 800, 600, 16, 1, None, True),
     ]
     kd_skip = None
     if args.kdtree and jax.default_backend() == "tpu":
