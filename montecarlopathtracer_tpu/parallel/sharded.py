@@ -113,6 +113,59 @@ def sharded_sample_pass(
     return jax.jit(fn)
 
 
+def sharded_regen_pass(
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    config: TraceConfig,
+):
+    """SPMD regenerating-wavefront pass (render/regen.py): each device
+    runs one persistent wavefront over its row band for its share of
+    the samples — the regen loop is embarrassingly parallel (lanes pin
+    to pixels, no cross-lane state), so the only collective is the
+    same spp-axis psum as `sharded_sample_pass`. Devices drain their
+    quotas independently (their `lax.while_loop`s exit per shard).
+
+    Returns a jitted (scene, camera, key) → f32[H, W, 3] mean image
+    sharded P("rays") over rows.
+    """
+    from ..render.regen import render_regen_planar
+
+    n_rays = mesh.shape[RAYS_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    if height % n_rays:
+        raise ValueError(
+            f"height {height} not divisible by rays shards {n_rays}"
+        )
+    if spp % n_spp:
+        raise ValueError(f"spp {spp} not divisible by spp shards {n_spp}")
+    rows_local = height // n_rays
+    spp_local = spp // n_spp
+    axes = (RAYS_AXIS, SPP_AXIS)
+
+    def local_pass(scene: ScenePack, camera: Camera, key: jax.Array):
+        ri = jax.lax.axis_index(RAYS_AXIS)
+        si = jax.lax.axis_index(SPP_AXIS)
+        dev_key = jax.random.fold_in(key, ri * 65536 + si)
+        img = render_regen_planar(
+            scene, camera, dev_key, width, height, spp_local, config,
+            y0=ri * rows_local, n_rows=rows_local, vary_axes=axes,
+        )  # (3, rows_local, W) mean of spp_local samples
+        total = jax.lax.psum(img * spp_local, SPP_AXIS)
+        return (total / spp).transpose(1, 2, 0)
+
+    fn = shard_map(
+        local_pass,
+        mesh=mesh,
+        in_specs=(_replicate_spec_scene(), _replicate_spec_camera(), P()),
+        out_specs=P(RAYS_AXIS, None, None),
+        check_vma=not config.pallas_interpret,
+    )
+    return jax.jit(fn)
+
+
 def _replicate_spec_scene():
     # Scene/BVH replicated per chip (BASELINE.json): a P() prefix spec.
     return P()

@@ -39,10 +39,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from typing import Tuple
+
 from ..scene.scene import ScenePack
 from ..scene.camera import Camera
 from ..ops.rng import stream_uniform
-from .integrator import TraceConfig, _make_intersect_shade
+from .integrator import TraceConfig, _make_intersect_shade, _pcast_missing
 
 
 def render_regen_planar(
@@ -54,24 +56,33 @@ def render_regen_planar(
     spp: int,
     config: TraceConfig,
     accel=None,
+    y0=0,
+    n_rows: int = 0,
+    vary_axes: Tuple[str, ...] = (),
 ) -> jnp.ndarray:
-    """Mean radiance over ``spp`` samples/pixel as planar f32[3, H, W].
+    """Mean radiance over ``spp`` samples/pixel as planar
+    f32[3, n_rows, W] for rows [y0, y0+n_rows) (default: whole frame).
 
     Requires a whole-segment Pallas intersector ("megakernel" or
     "traverse"). Inference-only (the loop is a `lax.while_loop`);
-    gradient renders use the scan integrator.
-    """
+    gradient renders use the scan integrator. ``y0``/``n_rows``/
+    ``vary_axes`` serve the SPMD row-band decomposition
+    (`parallel.sharded.sharded_regen_pass`): lanes pin to the band's
+    pixels and the loop init is pcast to the mesh axes the trace
+    varies over (see `trace_radiance_soa`)."""
     if config.intersector not in ("megakernel", "traverse"):
         raise ValueError(
             "regen rendering needs intersector='megakernel' or "
             f"'traverse', got {config.intersector!r}"
         )
-    R = width * height
+    if not n_rows:
+        n_rows = height
+    R = width * n_rows
     intersect_shade = _make_intersect_shade(scene, config, accel)
     whole = intersect_shade.whole
     lanes = jnp.arange(R)
     xs = lanes % width
-    ys = lanes // width
+    ys = lanes // width + y0
     rr = config.rr_depth
     n_seg = config.num_segments
 
@@ -103,6 +114,8 @@ def render_regen_planar(
         jnp.zeros((R,), jnp.int32),  # samples completed
         jnp.int32(1),  # step (1-based: segment at depth step-1 @ spp=1)
     )
+    if vary_axes:
+        init = jax.tree.map(lambda x: _pcast_missing(x, vary_axes), init)
     # Every path runs at most n_seg segments (hard kill / final
     # gather), so spp samples need at most spp * n_seg steps; the
     # bound is a backstop — `live` empties first.
@@ -149,7 +162,7 @@ def render_regen_planar(
 
     final = jax.lax.while_loop(cond, body, init)
     accum = final[4]
-    return accum.reshape(3, height, width) / jnp.float32(spp)
+    return accum.reshape(3, n_rows, width) / jnp.float32(spp)
 
 
 def render_regen_batch(
