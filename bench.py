@@ -176,6 +176,35 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- RR mode via the regenerating wavefront (render/regen.py) ----
+    # The CLI auto default for mode=rr: dead lanes restart the next
+    # sample in place. One fenced 32-spp pass; reported as an extra
+    # field (the headline metric stays the fixed-mode scan pass for
+    # round-to-round comparability).
+    rr_regen_msamples_s = None
+    if os.environ.get("BENCH_RR", "1") != "0":
+        rr_cfg = TraceConfig(
+            mode="rr", max_depth=7, illum=1.0, rr_depth=5,
+            ray_chunk=0, intersector=intersector,
+        )
+        rr_settings = RenderSettings(
+            width=width, height=height, spp_per_pass=32, seed=0,
+            regen=True,
+        )
+        rr = Renderer(scene, camera, rr_cfg, rr_settings)
+        rr.render(1)
+        float(np.asarray(rr.film.color[0, 0, 0]))  # fence warmup
+        t0 = time.perf_counter()
+        rr.render(2)
+        float(np.asarray(rr.film.color[0, 0, 0]))
+        rr_dt = time.perf_counter() - t0
+        rr_regen_msamples_s = width * height * 32 * 2 / rr_dt / 1e6
+        print(
+            f"rr regen (32 spp/pass): {rr_regen_msamples_s:.2f} "
+            f"Msamples/s",
+            file=sys.stderr,
+        )
+
     record = {
         "metric": "cornell_800x600_depth7_brute_samples_throughput",
         "value": round(msamples_s, 3),
@@ -184,6 +213,8 @@ def main():
         "fwd_msamples_s": round(msamples_s, 3),
         "warmup_s": round(warmup_s, 1),
     }
+    if rr_regen_msamples_s is not None:
+        record["rr_regen_msamples_s"] = round(rr_regen_msamples_s, 3)
     if fwdbwd_msamples_s is not None:
         record["fwdbwd_msamples_s"] = round(fwdbwd_msamples_s, 3)
         record["fwdbwd_mray_segments_s"] = round(fwdbwd_msamples_s * 8, 2)
