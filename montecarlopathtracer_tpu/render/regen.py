@@ -128,8 +128,10 @@ def render_regen_planar(
         pos, dir_, tput, res, accum, live, depth, sidx, step = c
         u1 = draw_seg(step, 0)
         u2 = draw_seg(step, 1)
-        urr = draw_seg(step, 3)
         zr = jnp.zeros((R,), jnp.float32)
+        # The kernel consumes urr only in its (static) rr branch —
+        # don't pay the draw in fixed mode (~0.1 ms/step, PERF.md).
+        urr = draw_seg(step, 3) if config.mode == "rr" else zr
         if config.mode == "rr":
             do_rr = ((depth >= rr) & (depth < 3 * rr)).astype(
                 jnp.float32
