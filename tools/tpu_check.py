@@ -397,6 +397,51 @@ def run_checks(write_golden: str | None = None) -> int:
         file=sys.stderr,
     )
 
+    # 6. Regenerating wavefront vs scan integrator, ON DEVICE: at
+    # 1 spp no lane regenerates and the stream indexing coincides, so
+    # the two schedulers must produce the SAME image (the per-lane-
+    # flags kernel path vs the scalar-flags one). Fixed and RR modes.
+    from montecarlopathtracer_tpu.render.integrator import (
+        render_rows_planar,
+    )
+    from montecarlopathtracer_tpu.render.regen import render_regen_planar
+
+    w, h = 256, 192
+    rkey = jax.random.key(11)
+    regen_ok = True
+    regen_res = {}
+    for rmode, rkw in (
+        ("fixed", dict(max_depth=4)),
+        ("rr", dict(rr_depth=2, illum=1.0)),
+    ):
+        rcfg = TraceConfig(
+            mode=rmode, ray_chunk=0,
+            intersector="megakernel" if backend == "tpu" else "brute",
+            **rkw,
+        )
+        if rcfg.intersector != "megakernel":
+            continue  # regen needs the Pallas path
+        a_img = np.asarray(
+            render_rows_planar(scene, cam, rkey, w, h, 0, h, rcfg)
+        )
+        b_img = np.asarray(
+            render_regen_planar(scene, cam, rkey, w, h, 1, rcfg)
+        )
+        md = float(np.abs(a_img - b_img).max())
+        regen_res[rmode] = md
+        regen_ok &= md == 0.0
+    if regen_res:
+        results["regen_spp1_bit_identical"] = {
+            "max_abs_diff": regen_res,
+            "ok": bool(regen_ok),
+        }
+        all_ok &= results["regen_spp1_bit_identical"]["ok"]
+        print(
+            f"  regen_spp1_bit_identical: "
+            f"{results['regen_spp1_bit_identical']}",
+            file=sys.stderr,
+        )
+
     out = {"backend": backend, "ok": bool(all_ok), "checks": results}
     print(json.dumps(out))
     return 0 if all_ok else 1
